@@ -1,0 +1,318 @@
+"""Typed configuration for every model / subsystem in the framework.
+
+The reference scatters configuration across argparse, DeepSpeed JSON, HParams
+attr-dicts and BigVGAN AttrDicts (see /root/reference/src/train_pt.py:225-264,
+src/decoder/voicebox/util/train_util.py:78-144, vocoder/env.py:8).  Here it is
+one module of frozen dataclasses so that configs hash, compare, and can be used
+as jit static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+def _asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+class _Base:
+    def to_json(self) -> str:
+        return json.dumps(_asdict(self), indent=2)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+
+# ---------------------------------------------------------------------------
+# Token space (reference contract: src/train_pt.py:104-123, SURVEY.md §3)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TokenSpace(_Base):
+    """The extended-vocabulary contract of the speech-text LLM.
+
+    Base Mistral vocab (32,000) is extended *in order* with `<|continue|>`,
+    `<|correspond|>`, `<|unit0|>`..`<|unit9999|>`, `<pad>` for a total of
+    42,003 ids (reference: src/train_pt.py:104-123; mask bound at
+    src/inference.py:51).
+    """
+
+    base_vocab_size: int = 32000
+    num_units: int = 10000
+    bos_id: int = 1
+    eos_id: int = 2
+    # The id of the bare "▁" (metaspace) token in the Mistral vocabulary;
+    # used as the EOS of the text2unit stage (src/inference.py:82).
+    space_id: int = 28705
+    newline_id: int = 13  # id of "\n" continuation piece in Mistral vocab
+
+    @property
+    def continue_id(self) -> int:
+        return self.base_vocab_size
+
+    @property
+    def correspond_id(self) -> int:
+        return self.base_vocab_size + 1
+
+    @property
+    def unit_offset(self) -> int:
+        return self.base_vocab_size + 2
+
+    @property
+    def pad_id(self) -> int:
+        return self.base_vocab_size + 2 + self.num_units
+
+    @property
+    def vocab_size(self) -> int:
+        return self.base_vocab_size + 2 + self.num_units + 1
+
+    def unit_id(self, unit: int) -> int:
+        return self.unit_offset + unit
+
+
+# ---------------------------------------------------------------------------
+# LLM (Mistral-7B-v0.1 + extended vocab)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MistralConfig(_Base):
+    """Mistral-7B-v0.1 geometry with the USDM extended vocabulary."""
+
+    vocab_size: int = 42003
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    sliding_window: int = 4096
+    max_seq_len: int = 8192
+    dtype: str = "bfloat16"
+    # initializer_range of the reference HF config; used to re-init the new
+    # token embeddings (src/train_pt.py:130-140).
+    initializer_range: float = 0.02
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256 + 2 + 32 + 1) -> "MistralConfig":
+        """A small config for tests: same structure, toy sizes."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=16,
+            sliding_window=64,
+            max_seq_len=256,
+            dtype="float32",
+        )
+
+
+# ---------------------------------------------------------------------------
+# Audio / mel (vocoder h; reference configs .../config.json:6-16)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MelConfig(_Base):
+    sampling_rate: int = 22050
+    n_fft: int = 1024
+    hop_size: int = 256
+    win_size: int = 1024
+    num_mels: int = 80
+    fmin: float = 0.0
+    fmax: float = 8000.0
+    # normalization constants of the USDM token-Voicebox
+    # (src/decoder/voicebox/util/model_util.py:18-19)
+    mel_mean: float = -5.5419
+    mel_std: float = 2.1575
+    # unit token rate of the XLS-R tokenizer
+    token_sr: int = 50
+
+
+# ---------------------------------------------------------------------------
+# token-Voicebox CFM decoder (reference config.json "model")
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class VoiceboxConfig(_Base):
+    n_feats: int = 80
+    n_tokens: int = 10000  # unit vocab; embedding table has n_tokens+1 rows
+    embedding_dim: int = 1280
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_heads: int = 16
+    num_layers: int = 24
+    convpos_width: int = 31
+    convpos_groups: int = 16
+    convpos_depth: int = 2
+    sigma_min: float = 1e-4
+    dtype: str = "float32"
+
+    @classmethod
+    def tiny(cls) -> "VoiceboxConfig":
+        return cls(
+            n_feats=8,
+            n_tokens=32,
+            embedding_dim=16,
+            hidden_size=32,
+            intermediate_size=64,
+            num_heads=4,
+            num_layers=4,
+            convpos_width=7,
+            convpos_groups=4,
+            convpos_depth=2,
+        )
+
+
+# ---------------------------------------------------------------------------
+# BigVGAN vocoder (nvidia/bigvgan_22khz_80band geometry)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BigVGANConfig(_Base):
+    num_mels: int = 80
+    upsample_initial_channel: int = 1536
+    upsample_rates: Sequence[int] = (4, 4, 2, 2, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (8, 8, 4, 4, 4, 4)
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    resblock: str = "1"
+    activation: str = "snakebeta"
+    snake_logscale: bool = True
+    sampling_rate: int = 22050
+
+    @classmethod
+    def tiny(cls) -> "BigVGANConfig":
+        return cls(
+            num_mels=8,
+            upsample_initial_channel=32,
+            upsample_rates=(4, 2),
+            upsample_kernel_sizes=(8, 4),
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3, 5),),
+        )
+
+    @property
+    def total_upsample(self) -> int:
+        out = 1
+        for r in self.upsample_rates:
+            out *= r
+        return out
+
+
+# ---------------------------------------------------------------------------
+# XLS-R speech tokenizer (SeamlessM4T UnitExtractor equivalent)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class XlsrConfig(_Base):
+    """wav2vec2 XLS-R 1B geometry (fairseq2 xlsr2_1b_v2).
+
+    Conv feature extractor: 7 layers (512 ch), strides 5,2,2,2,2,2,2 and
+    kernels 10,3,3,3,3,2,2 -> 320x downsample = 50 Hz at 16 kHz input.
+    Transformer: 48 layers, hidden 1280, ffn 5120, 16 heads; features are
+    tapped at layer 35 (0-indexed 34; every call site passes 35-1, e.g.
+    /root/reference/src/inference.py:59) and assigned to 10,000 k-means
+    centroids.
+    """
+
+    conv_channels: int = 512
+    conv_kernels: Sequence[int] = (10, 3, 3, 3, 3, 2, 2)
+    conv_strides: Sequence[int] = (5, 2, 2, 2, 2, 2, 2)
+    hidden_size: int = 1280
+    intermediate_size: int = 5120
+    num_heads: int = 16
+    num_layers: int = 48
+    output_layer: int = 35  # tap features after this many layers (1-indexed)
+    num_clusters: int = 10000
+    conv_pos_width: int = 128
+    conv_pos_groups: int = 16
+    layer_norm_first: bool = True
+    sample_rate: int = 16000
+    dtype: str = "float32"
+
+    @classmethod
+    def tiny(cls) -> "XlsrConfig":
+        return cls(
+            conv_channels=16,
+            conv_kernels=(10, 3, 2),
+            conv_strides=(5, 2, 2),
+            hidden_size=32,
+            intermediate_size=64,
+            num_heads=4,
+            num_layers=4,
+            output_layer=3,
+            num_clusters=64,
+            conv_pos_width=16,
+            conv_pos_groups=4,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TrainConfig(_Base):
+    learning_rate: float = 2e-5
+    lr_schedule: str = "cosine"
+    warmup_ratio: float = 0.03
+    adam_b1: float = 0.9
+    adam_b2: float = 0.95
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+    batch_size: int = 2
+    grad_accum: int = 1
+    max_steps: int = 1000
+    seed: int = 42
+    # parallelism
+    dp: int = 1         # data-parallel (FSDP-sharded) axis size
+    tp: int = 1         # tensor-parallel axis size
+    remat: bool = True  # jax.checkpoint each decoder layer
+    # checkpointing
+    save_every: int = 1000
+    keep_checkpoints: int = 2
+
+
+@dataclass(frozen=True)
+class CfmTrainConfig(_Base):
+    """token-Voicebox training (reference config.json "train")."""
+
+    learning_rate: float = 1e-4
+    grad_clip: float = 0.2
+    batch_size: int = 8
+    out_size_seconds: int = 16
+    p_uncond: float = 0.2
+    p_drop: float = 0.3
+    r_min: float = 0.7
+    r_max: float = 1.0
+    seed: int = 37
+    n_epochs: int = 10000
+    save_every: int = 1
+    dp: int = 1
+
+
+# ---------------------------------------------------------------------------
+# Decode engine
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class EngineConfig(_Base):
+    max_seq_len: int = 8192
+    page_size: int = 128          # tokens per KV page
+    max_pages_per_seq: int = 64
+    max_batch_size: int = 8
+    prefill_chunk: int = 512      # prefill bucketing granularity
+    hbm_utilization: float = 0.85
