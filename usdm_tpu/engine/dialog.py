@@ -1,0 +1,132 @@
+"""Three-stage chain-of-modality dialog policy.
+
+Reference flow (/root/reference/src/inference.py:48-89): given user speech
+units, run (A) unit2text ASR, (B) text2text response, (C) text2unit TTS —
+three greedy decodes over the same model with stage-specific vocab masks and
+stop tokens, re-templating the prompt between stages.
+
+Templates reproduce `default_template` (inference.py:16-27) exactly; decoded-
+text post-processing reproduces `strip_exact_multiple` splits
+(inference.py:67,75,83).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from usdm_tpu.core.config import MistralConfig, TokenSpace
+from usdm_tpu.core.tokenizer import UsdmTokenizer
+from usdm_tpu.audio.units import parse_units, units_to_string
+from usdm_tpu.engine.generate import generate
+from usdm_tpu.models import mistral as M
+from usdm_tpu.ops.sampling import (
+    STAGE_TEXT2TEXT,
+    STAGE_TEXT2UNIT,
+    STAGE_UNIT2TEXT,
+    stage_allow_mask,
+    stage_eos,
+)
+
+INSTRUCTION = (
+    "Below is a conversation between the user and the agent. Each turn includes "
+    "the user's speech and its corresponding transcript, along with the agent's "
+    "response text and the corresponding speech.\n"
+)
+
+
+def default_template(user_unit: str, user_text: Optional[str] = None, agent_text: Optional[str] = None) -> str:
+    template = INSTRUCTION + "\n### User\n" + f"{user_unit}<|correspond|>"
+    if user_text:
+        template += f"{user_text}\n### Agent\n"
+    if agent_text:
+        template += f"{agent_text}<|correspond|>"
+    return template
+
+
+def strip_exact_multiple(text: str, patterns: List[str]) -> str:
+    for pattern in patterns:
+        if text.startswith(pattern):
+            text = text[len(pattern):]
+        if text.endswith(pattern):
+            text = text[: -len(pattern)]
+    return text
+
+
+@dataclasses.dataclass
+class DialogResult:
+    user_text: str
+    agent_text: str
+    agent_units: List[int]
+    stage_tokens: dict
+
+
+class DialogPolicy:
+    """Drives the 3-stage decode against a params/config pair."""
+
+    def __init__(
+        self,
+        params: M.Params,
+        cfg: MistralConfig,
+        tokenizer: UsdmTokenizer,
+        max_new_tokens: int = 1024,
+        attn_impl: str = "auto",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.ts = tokenizer.ts
+        self.max_new_tokens = max_new_tokens
+        self.attn_impl = attn_impl
+        self._masks = {
+            s: jnp.asarray(stage_allow_mask(s, self.ts))
+            for s in (STAGE_UNIT2TEXT, STAGE_TEXT2TEXT, STAGE_TEXT2UNIT)
+        }
+
+    def _run_stage(self, stage: str, prompt: str, max_new: Optional[int] = None) -> List[int]:
+        ids = self.tok.encode(prompt)
+        input_ids = jnp.asarray(np.asarray(ids, np.int32)[None])
+        input_len = jnp.asarray([len(ids)], jnp.int32)
+        tokens, lengths = generate(
+            self.params,
+            self.cfg,
+            input_ids,
+            input_len,
+            self._masks[stage],
+            jnp.asarray(stage_eos(stage, self.ts), jnp.int32),
+            max_new_tokens=max_new or self.max_new_tokens,
+            attn_impl=self.attn_impl,
+        )
+        n = int(lengths[0])
+        return np.asarray(tokens[0, :n]).tolist()
+
+    def respond_to_units(self, user_units: List[int]) -> DialogResult:
+        user_unit_str = units_to_string(user_units)
+
+        # Stage A: unit2text (ASR)
+        out_a = self._run_stage(STAGE_UNIT2TEXT, default_template(user_unit_str))
+        text_a = self.tok.decode(out_a)
+        user_text = strip_exact_multiple(text_a.split("<|correspond|>")[-1], ["\n", " "])
+
+        # Stage B: text2text (response)
+        out_b = self._run_stage(STAGE_TEXT2TEXT, default_template(user_unit_str, user_text=user_text))
+        text_b = self.tok.decode(out_b)
+        agent_text = strip_exact_multiple(text_b.split("\n")[-1], ["\n", " ", "<|correspond|>"])
+
+        # Stage C: text2unit (TTS in token space)
+        out_c = self._run_stage(
+            STAGE_TEXT2UNIT,
+            default_template(user_unit_str, user_text=user_text, agent_text=agent_text),
+        )
+        text_c = self.tok.decode(out_c)
+        agent_units = parse_units(text_c.split("<|correspond|>")[-1])
+
+        return DialogResult(
+            user_text=user_text,
+            agent_text=agent_text,
+            agent_units=agent_units,
+            stage_tokens={"unit2text": out_a, "text2text": out_b, "text2unit": out_c},
+        )

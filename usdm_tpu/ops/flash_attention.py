@@ -1,0 +1,345 @@
+"""Pallas TPU flash attention with segment ids and sliding windows.
+
+TPU-native replacement for the reference's flash_attn_varlen_func + cu_seqlens
+packing (/root/reference/src/model.py:486-533): packing isolation is a
+segment-id equality mask; Mistral's sliding window is a position-difference
+bound.  Online-softmax accumulation in VMEM scratch; the kv-block grid
+dimension iterates innermost so scratch persists across kv blocks.
+
+GQA needs no K/V repetition: the K/V BlockSpec index map sends query-head h to
+kv-head h // group, so each kv head's blocks are DMA'd once per group.
+
+Forward kernel here; the memory-efficient backward uses the same blocking via
+a jnp scan (flash-style recompute) in `_flash_bwd` — no [T, T] score tensor is
+ever materialized in either direction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+_LANES = 128
+
+
+def _prec(dtype) -> jax.lax.Precision:
+    """f32 inputs need HIGHEST (XLA's DEFAULT computes f32 dots at ~bf16
+    accuracy); bf16 inputs use the MXU natively with f32 accumulation."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+def _fwd_kernel(
+    qpos_ref, kpos_ref, qseg_ref, kseg_ref,  # [1, bq] / [1, bk] int32
+    q_ref,  # [1, 1, bq, d]
+    k_ref,  # [1, 1, bk, d]
+    v_ref,  # [1, 1, bk, d]
+    o_ref,  # [1, 1, bq, d]
+    m_scratch,  # [bq, LANES] f32
+    l_scratch,  # [bq, LANES] f32
+    acc_scratch,  # [bq, d] f32
+    *,
+    scale: float,
+    causal: bool,
+    window: Optional[int],
+    block_q: int,
+    block_k: int,
+):
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # --- block-level skip on flat indices (valid for packed causal layouts:
+    # within a segment, position deltas equal flat-index deltas) -------------
+    qi = pl.program_id(2)
+    q_start = qi * block_q
+    q_end = q_start + block_q - 1
+    k_start = ki * block_k
+    k_end = k_start + block_k - 1
+
+    should_run = jnp.bool_(True)
+    if causal:
+        should_run = jnp.logical_and(should_run, k_start <= q_end)
+    if window is not None:
+        should_run = jnp.logical_and(should_run, q_start - k_end <= window)
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(q.dtype),
+        ) * scale  # [bq, bk]
+
+        qp = qpos_ref[0][:, None]
+        kp = kpos_ref[0][None, :]
+        qs = qseg_ref[0][:, None]
+        ks = kseg_ref[0][None, :]
+        mask = jnp.logical_and(qs == ks, qs >= 0)
+        if causal:
+            mask = jnp.logical_and(mask, qp >= kp)
+        if window is not None:
+            mask = jnp.logical_and(mask, qp - kp <= window)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scratch[:, :1]  # [bq, 1]
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # masked entries: exp(NEG_INF - m) = 0
+        # fully-masked-so-far rows: m_new == NEG_INF -> p would be exp(0)=1;
+        # zero them explicitly.
+        p = jnp.where(mask, p, 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+        v = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(v.dtype),
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scratch[:, :1]
+        safe_l = jnp.where(l > 0.0, l, 1.0)
+        o_ref[0, 0, :, :] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
+
+
+def _fwd_call(
+    q, k, v, q_positions, kv_positions, q_segment_ids, kv_segment_ids,
+    scale, causal, window, block_q, block_k,
+):
+    """q: [B, H, Tq, d]; k/v: [B, Hkv, Tk, d]. Returns o: [B, H, Tq, d]."""
+    b, h, tq, d = q.shape
+    hkv, tk = k.shape[1], k.shape[2]
+    g = h // hkv
+    block_q = min(block_q, tq)
+    block_k = min(block_k, tk)
+    nq = pl.cdiv(tq, block_q)
+    nk = pl.cdiv(tk, block_k)
+
+    grid = (b, h, nq, nk)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, window=window,
+        block_q=block_q, block_k=block_k,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(q_positions, kv_positions, q_segment_ids, kv_segment_ids, q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Memory-efficient backward (flash-style recompute, jnp scan over kv blocks)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_reference(res, g_out, *, scale, causal, window, block_k):
+    """Chunked recompute backward: O(T * block) memory, pure XLA.
+
+    Recomputes probabilities blockwise (standard flash backward identity:
+    dS = P * (dP - rowsum(dO * O)) ) and accumulates dq/dk/dv per kv block.
+    """
+    q, k, v, o, lse, qpos, kpos, qseg, kseg = res
+    b, h, tq, d = q.shape
+    hkv, tk = k.shape[1], k.shape[2]
+    g = h // hkv
+
+    prec = _prec(q.dtype)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    go = g_out.astype(jnp.float32)
+    delta = jnp.sum(go * o.astype(jnp.float32), axis=-1)  # [B, H, Tq]
+
+    nk = tk // block_k
+
+    def kv_block(ci, carry):
+        dq = carry
+        ks = jax.lax.dynamic_slice_in_dim(kf, ci * block_k, block_k, axis=2)
+        vs = jax.lax.dynamic_slice_in_dim(vf, ci * block_k, block_k, axis=2)
+        kp = jax.lax.dynamic_slice_in_dim(kpos, ci * block_k, block_k, axis=1)
+        ksg = jax.lax.dynamic_slice_in_dim(kseg, ci * block_k, block_k, axis=1)
+
+        # scores for all q against this kv block: [B, H, Tq, bk]
+        ks_h = jnp.repeat(ks, g, axis=1)
+        vs_h = jnp.repeat(vs, g, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, ks_h, preferred_element_type=jnp.float32, precision=prec) * scale
+        mask = (qseg[:, None, :, None] == ksg[:, None, None, :]) & (qseg[:, None, :, None] >= 0)
+        if causal:
+            mask = mask & (qpos[:, None, :, None] >= kp[:, None, None, :])
+        if window is not None:
+            mask = mask & (qpos[:, None, :, None] - kp[:, None, None, :] <= window)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse[..., None])
+        p = jnp.where(mask, p, 0.0)
+
+        dp = jnp.einsum("bhqd,bhkd->bhqk", go, vs_h, preferred_element_type=jnp.float32, precision=prec)
+        ds = p * (dp - delta[..., None]) * scale
+
+        dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, ks_h, preferred_element_type=jnp.float32, precision=prec)
+        dk_b = jnp.einsum("bhqk,bhqd->bhkd", ds, qf, preferred_element_type=jnp.float32, precision=prec)
+        dv_b = jnp.einsum("bhqk,bhqd->bhkd", p, go, preferred_element_type=jnp.float32, precision=prec)
+        # fold grouped heads back to kv heads
+        dk_b = dk_b.reshape(b, hkv, g, block_k, d).sum(axis=2)
+        dv_b = dv_b.reshape(b, hkv, g, block_k, d).sum(axis=2)
+        return dq, (dk_b, dv_b)
+
+    dq0 = jnp.zeros_like(qf)
+    dq, (dks, dvs) = jax.lax.scan(lambda c, ci: kv_block(ci, c), dq0, jnp.arange(nk))
+    dk = jnp.moveaxis(dks, 0, 2).reshape(b, hkv, tk, d)
+    dv = jnp.moveaxis(dvs, 0, 2).reshape(b, hkv, tk, d)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
+)
+def _flash(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k):
+    return _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k)
+
+
+def _flash_fwd(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k):
+    o = _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k)
+    # recompute LSE for backward (cheap: one extra pass of s max/sum would be
+    # needed anyway; we derive it from a dedicated lightweight kernel-free
+    # computation at bwd time instead would double memory; store per-row lse
+    # by recomputation here in blocks)
+    lse = _compute_lse(q, k, qpos, kpos, qseg, kseg, scale, causal, window, block_k)
+    return o, (q, k, v, o, lse, qpos, kpos, qseg, kseg)
+
+
+def _compute_lse(q, k, qpos, kpos, qseg, kseg, scale, causal, window, block_k):
+    b, h, tq, d = q.shape
+    hkv, tk = k.shape[1], k.shape[2]
+    g = h // hkv
+    prec = _prec(q.dtype)
+    qf = q.astype(jnp.float32)
+    nk = tk // block_k
+
+    def body(carry, ci):
+        m, l = carry
+        ks = jax.lax.dynamic_slice_in_dim(k, ci * block_k, block_k, axis=2).astype(jnp.float32)
+        kp = jax.lax.dynamic_slice_in_dim(kpos, ci * block_k, block_k, axis=1)
+        ksg = jax.lax.dynamic_slice_in_dim(kseg, ci * block_k, block_k, axis=1)
+        ks_h = jnp.repeat(ks, g, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, ks_h, preferred_element_type=jnp.float32, precision=prec) * scale
+        mask = (qseg[:, None, :, None] == ksg[:, None, None, :]) & (qseg[:, None, :, None] >= 0)
+        if causal:
+            mask = mask & (qpos[:, None, :, None] >= kp[:, None, None, :])
+        if window is not None:
+            mask = mask & (qpos[:, None, :, None] - kp[:, None, None, :] <= window)
+        s = jnp.where(mask, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m, m_cur)
+        p_sum = jnp.where(mask, jnp.exp(s - m_new[..., None]), 0.0).sum(axis=-1)
+        l_new = l * jnp.exp(m - m_new) + p_sum
+        return (m_new, l_new), None
+
+    m0 = jnp.full((b, h, tq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, tq), jnp.float32)
+    (m, l), _ = jax.lax.scan(body, (m0, l0), jnp.arange(nk))
+    return m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _flash_bwd(scale, causal, window, block_q, block_k, res, g_out):
+    dq, dk, dv = _bwd_reference(res, g_out, scale=scale, causal=causal, window=window, block_k=block_k)
+    return dq, dk, dv, None, None, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # [B, T, H, d]
+    k: jnp.ndarray,  # [B, T, Hkv, d]
+    v: jnp.ndarray,
+    q_segment_ids: jnp.ndarray,  # [B, Tq]
+    kv_segment_ids: jnp.ndarray,  # [B, Tk]
+    q_positions: jnp.ndarray,
+    kv_positions: jnp.ndarray,
+    causal: bool = True,
+    sliding_window: Optional[int] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """[B, T, H, d] layout wrapper around the [B, H, T, d] kernel.
+
+    Sequences are padded up to a block multiple with segment id -1 (pad rows
+    attend nothing / are attended by nothing), so arbitrary lengths are safe.
+    """
+    d = q.shape[-1]
+    tq, tk = q.shape[1], k.shape[1]
+    scale = d ** -0.5 if scale is None else scale
+    block_q = min(block_q, max(128, 1 << (tq - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (tk - 1).bit_length()))
+
+    pq = (-tq) % block_q
+    pk = (-tk) % block_k
+
+    def pad_t(x, p):
+        return jnp.pad(x, ((0, 0), (0, p)) + ((0, 0),) * (x.ndim - 2)) if p else x
+
+    q, q_positions = pad_t(q, pq), pad_t(q_positions.astype(jnp.int32), pq)
+    k, kv_positions = pad_t(k, pk), pad_t(kv_positions.astype(jnp.int32), pk)
+    v = pad_t(v, pk)
+    q_segment_ids = (
+        jnp.pad(q_segment_ids.astype(jnp.int32), ((0, 0), (0, pq)), constant_values=-1) if pq else q_segment_ids.astype(jnp.int32)
+    )
+    kv_segment_ids = (
+        jnp.pad(kv_segment_ids.astype(jnp.int32), ((0, 0), (0, pk)), constant_values=-2) if pk else kv_segment_ids.astype(jnp.int32)
+    )
+
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    o = _flash(
+        qt, kt, vt,
+        q_positions, kv_positions, q_segment_ids, kv_segment_ids,
+        scale, causal, sliding_window, block_q, block_k,
+    )
+    o = jnp.swapaxes(o, 1, 2)
+    return o[:, :tq] if pq else o
