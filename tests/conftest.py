@@ -16,6 +16,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The sandbox's sitecustomize force-registers the axon TPU plugin and sets
+# jax_platforms="axon,cpu" AFTER env vars are read — re-select CPU here so
+# tests run on the 8-device virtual host platform, not over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_test_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
