@@ -88,7 +88,13 @@ class DialogPolicy:
 
     def _run_stage(self, stage: str, prompt: str, max_new: Optional[int] = None) -> List[int]:
         ids = self.tok.encode(prompt)
-        input_ids = jnp.asarray(np.asarray(ids, np.int32)[None])
+        # bucket the prompt length to a 128 multiple so `generate` compiles
+        # once per bucket, not once per prompt (the reference re-prefills and
+        # re-traces per call; XLA jit makes padding the cheaper currency)
+        bucket = max(128, -(-len(ids) // 128) * 128)
+        padded = np.full((1, bucket), self.ts.pad_id, np.int32)
+        padded[0, : len(ids)] = ids
+        input_ids = jnp.asarray(padded)
         input_len = jnp.asarray([len(ids)], jnp.int32)
         tokens, lengths = generate(
             self.params,

@@ -1,0 +1,125 @@
+"""End-to-end spoken dialog pipeline: user wav -> agent wav.
+
+The TPU-native equivalent of the reference's `src/inference.py` `sample()`
+flow (/root/reference/src/inference.py:48-89): XLS-R unit extraction, the
+3-stage unit->text->text->unit LLM chain, token-Voicebox mel synthesis (with
+optional speaker reference prompt), and BigVGAN vocoding — every compute stage
+jit-compiled on device; the host only does templating/regex between stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usdm_tpu.audio.wav import load_wav, write_wav
+from usdm_tpu.core import checkpoint as ckpt
+from usdm_tpu.core.config import (
+    BigVGANConfig,
+    MelConfig,
+    MistralConfig,
+    VoiceboxConfig,
+    XlsrConfig,
+)
+from usdm_tpu.core.tokenizer import UsdmTokenizer
+from usdm_tpu.engine.dialog import DialogPolicy, DialogResult
+from usdm_tpu.engine.synthesis import SpeechDecoder, prepare_reference
+from usdm_tpu.models import bigvgan as BV
+from usdm_tpu.models import mistral as LM
+from usdm_tpu.models import voicebox as VB
+from usdm_tpu.models import xlsr as XL
+
+
+@dataclasses.dataclass
+class UsdmPipeline:
+    tokenizer: UsdmTokenizer
+    lm_params: LM.Params
+    lm_cfg: MistralConfig
+    xlsr_params: XL.Params
+    xlsr_cfg: XlsrConfig
+    decoder: SpeechDecoder
+    max_new_tokens: int = 1024
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        llm_dir: str,
+        xlsr_dir: str,
+        kmeans_path: str,
+        voicebox_dir: str,
+        bigvgan_dir: str,
+        tokenizer_dir: Optional[str] = None,
+        lm_dtype: str = "bfloat16",
+    ) -> "UsdmPipeline":
+        """Assemble the full stack from local checkpoint directories."""
+        lm_params, lm_cfg = ckpt.load_mistral(llm_dir, dtype=lm_dtype)
+        xlsr_params, xlsr_cfg = ckpt.load_xlsr(xlsr_dir, kmeans_path)
+        vb_params, vb_cfg = ckpt.load_voicebox(voicebox_dir)
+        bv_params, bv_cfg = ckpt.load_bigvgan(bigvgan_dir)
+        tokenizer = UsdmTokenizer.load(tokenizer_dir or llm_dir)
+        decoder = SpeechDecoder(vb_params, vb_cfg, bv_params, bv_cfg)
+        return cls(tokenizer, lm_params, lm_cfg, xlsr_params, xlsr_cfg, decoder)
+
+    @classmethod
+    def tiny_random(cls, seed: int = 0) -> "UsdmPipeline":
+        """A structurally-complete random pipeline for tests/demo plumbing."""
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        tok = UsdmTokenizer.build_test(num_units=32)
+        lm_cfg = MistralConfig.tiny(vocab_size=tok.vocab_size)
+        xl_cfg = XlsrConfig.tiny().replace(num_clusters=32)
+        vb_cfg = VoiceboxConfig.tiny().replace(n_tokens=32, n_feats=80)
+        bv_cfg = BigVGANConfig.tiny().replace(num_mels=80)
+        decoder = SpeechDecoder(
+            VB.init_params(vb_cfg, k1), vb_cfg,
+            BV.init_generator(bv_cfg, k2), bv_cfg,
+            MelConfig(),
+        )
+        return cls(tok, LM.init_params(lm_cfg, k3), lm_cfg,
+                   XL.init_params(xl_cfg, k4), xl_cfg, decoder, max_new_tokens=16)
+
+    # ------------------------------------------------------------------ api
+    def extract_units(self, wav: np.ndarray) -> list[int]:
+        units, ulen = XL.extract_units(
+            self.xlsr_params, self.xlsr_cfg, jnp.asarray(wav[None].astype(np.float32))
+        )
+        return np.asarray(units)[0, : int(ulen[0])].tolist()
+
+    def respond(
+        self,
+        input_path: str,
+        output_path: Optional[str] = None,
+        reference_path: Optional[str] = None,
+        n_timesteps: int = 50,
+        seed: int = 0,
+    ) -> DialogResult:
+        """Full speech-to-speech turn; writes the agent waveform if
+        `output_path` is given and returns the intermediate text/units."""
+        wav, _ = load_wav(input_path, sr=self.xlsr_cfg.sample_rate)
+        user_units = self.extract_units(wav)
+
+        policy = DialogPolicy(self.lm_params, self.lm_cfg, self.tokenizer,
+                              max_new_tokens=self.max_new_tokens)
+        result = policy.respond_to_units(user_units)
+
+        reference = None
+        if reference_path:
+            reference = prepare_reference(
+                reference_path, self.xlsr_params, self.xlsr_cfg, self.decoder.mel_cfg
+            )
+
+        if result.agent_units:
+            audio = self.decoder.synthesize(
+                result.agent_units, jax.random.PRNGKey(seed),
+                reference=reference, n_timesteps=n_timesteps,
+            )
+        else:
+            audio = np.zeros(0, np.float32)
+
+        if output_path is not None and len(audio):
+            write_wav(output_path, audio, self.decoder.mel_cfg.sampling_rate)
+        return result
