@@ -1,0 +1,181 @@
+"""Multipack FFD batch sampler: native C++ core with a numpy fallback.
+
+Equivalent of the reference's numba-JIT multipack sampler
+(/root/reference/preprocess/pre-training/utils/multipack_sampler.py):
+first-fit-decreasing packing of variable-length samples into
+`batch_max_length`-token bins, one bin per data-parallel rank per step, with
+~99.5% bin utilization.  The hot path is `native/ffd.cpp` (built to libffd.so,
+loaded via ctypes); a pure-numpy implementation keeps behavior identical when
+the native library isn't built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libffd.so")
+_lib = None
+
+
+def _load_native(build: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and build and os.path.exists(os.path.join(_NATIVE_DIR, "ffd.cpp")):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        except Exception:
+            return None
+    if os.path.exists(_LIB_PATH):
+        lib = ctypes.CDLL(_LIB_PATH)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.ffd_check.restype = ctypes.c_int
+        lib.ffd_check.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.ffd_allocate.restype = ctypes.c_int64
+        lib.ffd_allocate.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, i64p, i64p, ctypes.c_int64, i64p]
+        _lib = lib
+    return _lib
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy fallback (identical semantics)
+# ---------------------------------------------------------------------------
+
+
+def _ffd_check_np(a: np.ndarray, c: int, n_bins: int) -> bool:
+    order = np.argsort(-a, kind="stable")
+    space = np.full(n_bins, c, dtype=np.int64)
+    for i in order:
+        fit = np.nonzero(space >= a[i])[0]
+        if len(fit) == 0:
+            return False
+        space[fit[0]] -= a[i]
+    return True
+
+
+def _ffd_pack_np(a: np.ndarray, c: int) -> Tuple[np.ndarray, int]:
+    order = np.argsort(-a, kind="stable")
+    bins: List[int] = []
+    bin_of = np.full(len(a), -1, dtype=np.int64)
+    for i in order:
+        placed = -1
+        for bi, s in enumerate(bins):
+            if s >= a[i]:
+                bins[bi] = s - a[i]
+                placed = bi
+                break
+        if placed < 0:
+            bins.append(c - a[i])
+            placed = len(bins) - 1
+        bin_of[i] = placed
+    return bin_of, len(bins)
+
+
+def _allocate_np(lengths: np.ndarray, c: int, n_ranks: int, rank: int):
+    cumsum = np.concatenate([[0], np.cumsum(lengths)])
+    start, consumed = 0, 0
+    batches: List[np.ndarray] = []
+    total_used = 0
+    n = len(lengths)
+    while start < n:
+        budget = consumed + c * n_ranks
+        hi = int(np.searchsorted(cumsum[start:], budget, side="right"))
+        hi = min(hi, n - start + 1)
+        if hi < 1:
+            break
+        lo = 1
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if _ffd_check_np(lengths[start : start + mid], c, n_ranks):
+                lo = mid
+            else:
+                hi = mid
+        bin_of, used = _ffd_pack_np(lengths[start : start + lo], c)
+        if used < n_ranks:
+            break
+        batches.append(start + np.nonzero(bin_of == rank)[0])
+        total_used += int(lengths[start : start + lo].sum())
+        start += lo
+        consumed = int(cumsum[start])
+    return batches, total_used
+
+
+# ---------------------------------------------------------------------------
+# Public sampler
+# ---------------------------------------------------------------------------
+
+
+class MultipackSampler:
+    """Length-aware distributed batch sampler (reference
+    MultipackDistributedBatchSampler, multipack_sampler.py:95-163).
+
+    Yields per-epoch lists of dataset indices for `rank`; each list packs to
+    at most `batch_max_length` tokens.
+    """
+
+    def __init__(
+        self,
+        batch_max_length: int,
+        lengths: np.ndarray,
+        num_replicas: int = 1,
+        rank: int = 0,
+        seed: int = 0,
+        use_native: bool = True,
+    ):
+        self.c = int(batch_max_length)
+        self.lengths = np.asarray(lengths, np.int64)
+        assert (self.lengths <= self.c).all(), "filter samples > batch_max_length first"
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.seed = seed
+        self.epoch = 0
+        self.use_native = use_native
+        self.eff_total_used = 0
+        self.eff_total_slots = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def generate_batches(self, set_stats: bool = False) -> List[np.ndarray]:
+        perm = np.random.default_rng(self.seed + self.epoch).permutation(len(self.lengths))
+        lengths = self.lengths[perm]
+
+        lib = _load_native() if self.use_native else None
+        if lib is not None:
+            n = len(lengths)
+            arr = np.ascontiguousarray(lengths)
+            max_batches = n + 1
+            out_idx = np.empty(n, np.int64)
+            out_off = np.empty(max_batches + 1, np.int64)
+            total_used = ctypes.c_int64(0)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            nb = lib.ffd_allocate(
+                arr.ctypes.data_as(i64p), n, self.c, self.num_replicas, self.rank,
+                out_idx.ctypes.data_as(i64p), out_off.ctypes.data_as(i64p),
+                max_batches, ctypes.byref(total_used),
+            )
+            batches = [out_idx[out_off[i] : out_off[i + 1]].copy() for i in range(nb)]
+            used = int(total_used.value)
+        else:
+            batches, used = _allocate_np(lengths, self.c, self.num_replicas, self.rank)
+
+        if set_stats:
+            self.eff_total_used += used
+            self.eff_total_slots += len(batches) * self.c * self.num_replicas
+        return [perm[b] for b in batches]
+
+    def __iter__(self):
+        return iter(self.generate_batches(set_stats=True))
+
+    def num_batches(self) -> int:
+        return len(self.generate_batches())
+
+    def efficiency(self) -> float:
+        return self.eff_total_used / max(self.eff_total_slots, 1)

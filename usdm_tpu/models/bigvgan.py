@@ -354,3 +354,177 @@ def convert_reference_state_dict(state: Dict[str, np.ndarray], cfg: BigVGANConfi
     params["conv_post_w"] = conv("conv_post")
     params["conv_post_b"] = b("conv_post")
     return params
+
+
+# ---------------------------------------------------------------------------
+# Discriminators + GAN losses (training side of C14; models.py:316-488)
+# ---------------------------------------------------------------------------
+
+
+def init_period_discriminator(key: jax.Array, period: int, d_mult: int = 1,
+                              kernel_size: int = 5, stride: int = 3) -> Params:
+    """DiscriminatorP (models.py:316-350): 2-D convs over a [T/p, p] reshape."""
+    ks = iter(jax.random.split(key, 8))
+    chans = [1, int(32 * d_mult), int(128 * d_mult), int(512 * d_mult),
+             int(1024 * d_mult), int(1024 * d_mult)]
+    convs = []
+    for i in range(5):
+        st = (stride, 1) if i < 4 else (1, 1)
+        kk = (kernel_size, 1)
+        w = jax.random.normal(next(ks), (kk[0], kk[1], chans[i], chans[i + 1]), jnp.float32) * 0.02
+        convs.append({"w": w, "b": jnp.zeros((chans[i + 1],)), "stride": None})
+    post = {
+        "w": jax.random.normal(next(ks), (3, 1, chans[-1], 1), jnp.float32) * 0.02,
+        "b": jnp.zeros((1,)),
+    }
+    return {"period": period, "convs": convs, "post": post,
+            "kernel_size": kernel_size, "stride": stride}
+
+
+def _conv2d(x, w, b, stride, padding):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=_PREC,
+    )
+    return y + b
+
+
+def _leaky_relu(x, slope=0.1):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def period_discriminator(dp: Params, wav: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """wav [B, 1, T] -> (score [B, N], feature maps).  Pads T to a multiple of
+    the period with reflection, then runs strided (k, 1) 2-D convs."""
+    p = dp["period"]
+    b, _, t = wav.shape
+    if t % p != 0:
+        n_pad = p - (t % p)
+        wav = jnp.pad(wav, ((0, 0), (0, 0), (0, n_pad)), mode="reflect")
+        t = t + n_pad
+    x = wav.reshape(b, 1, t // p, p).transpose(0, 2, 3, 1)  # NHWC: [B, T/p, p, 1]
+    fmap = []
+    ksz, stride = dp["kernel_size"], dp["stride"]
+    pad = (ksz - 1) // 2  # get_padding(5, 1)
+    for i, c in enumerate(dp["convs"]):
+        st = (stride, 1) if i < 4 else (1, 1)
+        padding = [(pad, pad), (0, 0)] if i < 4 else [(2, 2), (0, 0)]
+        x = _conv2d(x, c["w"], c["b"], st, padding)
+        x = _leaky_relu(x)
+        fmap.append(x)
+    x = _conv2d(x, dp["post"]["w"], dp["post"]["b"], (1, 1), [(1, 1), (0, 0)])
+    fmap.append(x)
+    return x.reshape(b, -1), fmap
+
+
+def init_mpd(key: jax.Array, periods: Sequence[int] = (2, 3, 5, 7, 11), d_mult: int = 1) -> List[Params]:
+    keys = jax.random.split(key, len(periods))
+    return [init_period_discriminator(k, p, d_mult) for k, p in zip(keys, periods)]
+
+
+def init_resolution_discriminator(key: jax.Array, d_mult: int = 1) -> Params:
+    """DiscriminatorR convs (models.py:377-402): 2-D convs over |STFT|."""
+    ks = iter(jax.random.split(key, 8))
+    c = int(32 * d_mult)
+    shapes = [
+        ((3, 9), 1, c, (1, 1)),
+        ((3, 9), c, c, (1, 2)),
+        ((3, 9), c, c, (1, 2)),
+        ((3, 9), c, c, (1, 2)),
+        ((3, 3), c, c, (1, 1)),
+    ]
+    convs = []
+    for (kh, kw), cin, cout, st in shapes:
+        w = jax.random.normal(next(ks), (kh, kw, cin, cout), jnp.float32) * 0.02
+        convs.append({"w": w, "b": jnp.zeros((cout,)), "stride": st,
+                      "pad": ((kh // 2, kh // 2), (kw // 2, kw // 2))})
+    post = {"w": jax.random.normal(next(ks), (3, 3, c, 1), jnp.float32) * 0.02,
+            "b": jnp.zeros((1,))}
+    return {"convs": convs, "post": post}
+
+
+def _stft_mag(wav: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarray:
+    """[B, T] -> [B, F, frames] magnitude, torch.stft(center=False) semantics
+    with the reference's (n_fft - hop)/2 reflect pre-pad (models.py:419-427)."""
+    from usdm_tpu.audio.mel import stft_magnitude
+
+    pad = int((n_fft - hop) / 2)
+    wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
+    # reference uses rectangular window (no window arg to torch.stft)
+    t = wav.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = wav[:, idx]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-12)
+    return jnp.swapaxes(mag, -1, -2)
+
+
+def resolution_discriminator(dr: Params, wav: jnp.ndarray, resolution: Sequence[int]) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    """wav [B, 1, T] with resolution (n_fft, hop, win)."""
+    n_fft, hop, win = resolution
+    mag = _stft_mag(wav[:, 0, :], n_fft, hop, win)  # [B, F, TT]
+    x = mag[:, :, :, None]  # NHWC
+    fmap = []
+    for c in dr["convs"]:
+        x = _conv2d(x, c["w"], c["b"], c["stride"], list(c["pad"]))
+        x = _leaky_relu(x)
+        fmap.append(x)
+    x = _conv2d(x, dr["post"]["w"], dr["post"]["b"], (1, 1), [(1, 1), (1, 1)])
+    fmap.append(x)
+    return x.reshape(x.shape[0], -1), fmap
+
+
+DEFAULT_RESOLUTIONS = ((1024, 120, 600), (2048, 240, 1200), (512, 50, 240))
+
+
+def init_mrd(key: jax.Array, n: int = 3, d_mult: int = 1) -> List[Params]:
+    keys = jax.random.split(key, n)
+    return [init_resolution_discriminator(k, d_mult) for k in keys]
+
+
+def discriminate(mpd: List[Params], mrd: List[Params], resolutions, real: jnp.ndarray, fake: jnp.ndarray):
+    """Run all discriminators on (real, fake) -> scores + feature maps."""
+    y_r, y_g, f_r, f_g = [], [], [], []
+    for dp in mpd:
+        sr, fr = period_discriminator(dp, real)
+        sg, fg = period_discriminator(dp, fake)
+        y_r.append(sr); y_g.append(sg); f_r.append(fr); f_g.append(fg)
+    for dr, res in zip(mrd, resolutions):
+        sr, fr = resolution_discriminator(dr, real, res)
+        sg, fg = resolution_discriminator(dr, fake, res)
+        y_r.append(sr); y_g.append(sg); f_r.append(fr); f_g.append(fg)
+    return y_r, y_g, f_r, f_g
+
+
+def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
+    """2 * sum of mean|fr - fg| (models.py:458-464)."""
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss = loss + jnp.mean(jnp.abs(rl - gl))
+    return 2.0 * loss
+
+
+def discriminator_loss(real_outs, gen_outs) -> Tuple[jnp.ndarray, List, List]:
+    """LSGAN discriminator loss (models.py:467-478)."""
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(real_outs, gen_outs):
+        r = jnp.mean(jnp.square(1.0 - dr))
+        g = jnp.mean(jnp.square(dg))
+        loss = loss + r + g
+        r_losses.append(r)
+        g_losses.append(g)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outs) -> Tuple[jnp.ndarray, List]:
+    """LSGAN generator loss (models.py:481-488)."""
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outs:
+        l = jnp.mean(jnp.square(1.0 - dg))
+        gen_losses.append(l)
+        loss = loss + l
+    return loss, gen_losses

@@ -117,6 +117,14 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return (x.astype(jnp.float32) * cos[:, :, None, :] + rotated.astype(jnp.float32) * sin[:, :, None, :]).astype(x.dtype)
 
 
+def _lora_delta(y: jnp.ndarray, lw, name: str) -> jnp.ndarray:
+    """Low-rank side path y@A@B * (alpha/r); 0 when `name` not adapted."""
+    if lw is None or name not in lw:
+        return 0.0
+    a, bb, scale = lw[name]["a"], lw[name]["b"], lw[name]["scale"]
+    return ((y @ a) @ bb) * scale
+
+
 def _layer(
     cfg: MistralConfig,
     x: jnp.ndarray,  # [B, T, D]
@@ -126,14 +134,15 @@ def _layer(
     segment_ids: jnp.ndarray,
     positions: jnp.ndarray,
     attn_impl: str,
+    lw: Optional[Params] = None,  # per-layer LoRA weights
 ) -> jnp.ndarray:
     b, t, d = x.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q = (y @ lp["wq"]).reshape(b, t, h, hd)
-    kk = (y @ lp["wk"]).reshape(b, t, hkv, hd)
-    vv = (y @ lp["wv"]).reshape(b, t, hkv, hd)
+    q = (y @ lp["wq"] + _lora_delta(y, lw, "wq")).reshape(b, t, h, hd)
+    kk = (y @ lp["wk"] + _lora_delta(y, lw, "wk")).reshape(b, t, hkv, hd)
+    vv = (y @ lp["wv"] + _lora_delta(y, lw, "wv")).reshape(b, t, hkv, hd)
     q = apply_rope(q, cos, sin)
     kk = apply_rope(kk, cos, sin)
     attn = mha(
@@ -146,7 +155,8 @@ def _layer(
         sliding_window=cfg.sliding_window,
         impl=attn_impl,
     )
-    x = x + attn.reshape(b, t, h * hd) @ lp["wo"]
+    ao = attn.reshape(b, t, h * hd)
+    x = x + ao @ lp["wo"] + _lora_delta(ao, lw, "wo")
 
     y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
     x = x + (jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])) @ lp["w_down"]
@@ -161,6 +171,7 @@ def forward(
     positions: Optional[jnp.ndarray] = None,  # [B, T]; per-segment restart
     attn_impl: str = "auto",
     remat: bool = False,
+    lora: Optional[Params] = None,  # stacked LoRA weights (see train.lora)
 ) -> jnp.ndarray:
     """Packed full-sequence forward -> logits [B, T, V] (f32).
 
@@ -181,10 +192,11 @@ def forward(
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
-    def body(x, lp):
-        return layer_fn(x, lp, cos, sin, segment_ids, positions), None
+    def body(x, xs):
+        lp, lw = xs
+        return layer_fn(x, lp, cos, sin, segment_ids, positions, lw=lw), None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, (params["layers"], {} if lora is None else lora))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = x @ params["lm_head"].astype(x.dtype)
     return logits.astype(jnp.float32)
@@ -199,9 +211,10 @@ def loss_fn(
     positions: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     remat: bool = True,
+    lora: Optional[Params] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Shifted mean cross-entropy, matching model.py:124-135."""
-    logits = forward(params, cfg, input_ids, segment_ids, positions, attn_impl, remat)
+    logits = forward(params, cfg, input_ids, segment_ids, positions, attn_impl, remat, lora)
     shift_logits = logits[:, :-1]
     shift_labels = labels[:, 1:]
     valid = shift_labels != -100

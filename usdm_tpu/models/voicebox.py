@@ -194,6 +194,11 @@ def estimator(
     b, T = x_units.shape
     H = cfg.hidden_size
     cdt = params["proj_in_w"].dtype  # compute dtype follows the params
+    # normalize every floating leaf (biases, norms) to the compute dtype so
+    # mixed-precision callers can cast only the big weights
+    params = jax.tree.map(
+        lambda a: a.astype(cdt) if jnp.issubdtype(a.dtype, jnp.floating) else a, params
+    )
 
     emb = params["embed"][x_units] * math.sqrt(cfg.embedding_dim)  # [B, T, E]
     feats = jnp.concatenate(
