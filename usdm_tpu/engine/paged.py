@@ -1,0 +1,323 @@
+"""Paged-KV continuous-batching decode engine.
+
+TPU-native replacement for the reference's vLLM path
+(/root/reference/src/inference_vllm.py:109: continuous batching + PagedAttention
+CUDA kernels + per-stage logits processors/stop ids).  Design:
+
+  * KV memory is a pool of fixed-size pages in HBM:
+    k_pages/v_pages [L, n_pages, page_size, Hkv, hd].  A host-side free list
+    assigns pages; sequences own scattered pages via a page table
+    [slots, max_pages].  Admission never reshapes device buffers.
+  * Decode is one jitted step over all active slots: embed, 32-layer scan,
+    per-slot page-table gather attention (Pallas kernel when available, jnp
+    gather otherwise), per-slot logit masks, greedy/top-k sampling — the host
+    sees one token per slot per step.
+  * Prefill runs per admitted request at bucketed lengths, writing K/V
+    straight into the request's pages.
+  * Continuous batching: finished slots free their pages and are refilled
+    from the waiting queue between steps (the scheduler is host Python; the
+    hot loop never leaves the device).
+
+Per-request logit masks + stop ids implement the 3-stage dialog constraints
+(inference_vllm.py:70-84,112-125) as vectorized jnp ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from usdm_tpu.core.config import EngineConfig, MistralConfig
+from usdm_tpu.models import mistral as M
+from usdm_tpu.ops.attention import decode_attention, mha
+from usdm_tpu.ops.sampling import NEG_INF
+
+
+# ---------------------------------------------------------------------------
+# Device-side paged KV
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class PagedKV:
+    k_pages: jnp.ndarray  # [L, Hkv, N, P, hd] (kv-head-major; see paged_attention)
+    v_pages: jnp.ndarray  # [L, Hkv, N, P, hd]
+
+    @classmethod
+    def create(cls, cfg: MistralConfig, n_pages: int, page_size: int, dtype=None) -> "PagedKV":
+        dtype = jnp.dtype(dtype or cfg.dtype)
+        shape = (cfg.num_layers, cfg.num_kv_heads, n_pages, page_size, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+jax.tree_util.register_dataclass(PagedKV, data_fields=["k_pages", "v_pages"], meta_fields=[])
+
+
+
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size"), donate_argnums=(1,))
+def paged_decode_step(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    tokens: jnp.ndarray,  # [B] current token per slot
+    seq_lens: jnp.ndarray,  # [B] tokens already in cache (position of this token)
+    page_table: jnp.ndarray,  # [B, maxp]
+    active: jnp.ndarray,  # [B] bool
+    allow_masks: jnp.ndarray,  # [B, V] bool per-slot vocab masks
+    page_size: int,
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """One decode step for every active slot -> (next_token [B], kv')."""
+    b = tokens.shape[0]
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cdt = jnp.dtype(cfg.dtype)
+
+    pos = seq_lens  # position of the incoming token
+    x = params["embed"].astype(cdt)[tokens][:, None, :]
+    cos, sin = M.rope_tables(pos[:, None], cfg.head_dim, cfg.rope_theta)
+
+    page_ids = page_table[jnp.arange(b), pos // page_size]  # [B]
+    # inactive slots must not scribble over pages that may have been freed
+    # and reassigned: route their writes to the reserved trash page (last
+    # page of the pool, never allocated).
+    trash = kv.k_pages.shape[2] - 1
+    page_ids = jnp.where(active, page_ids, trash)
+    offs = pos % page_size
+
+    def body(x, xs):
+        lp, k_l, v_l = xs
+        y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q = (y @ lp["wq"]).reshape(b, 1, h, hd)
+        kk = (y @ lp["wk"]).reshape(b, hkv, hd)
+        vv = (y @ lp["wv"]).reshape(b, hkv, hd)
+        q = M.apply_rope(q, cos, sin)
+        kk = M.apply_rope(kk[:, None], cos, sin)[:, 0]
+
+        # k_l: [Hkv, N, P, hd]; write each slot's new kv at its page/offset
+        k_l = k_l.at[:, page_ids, offs].set(jnp.swapaxes(kk, 0, 1).astype(k_l.dtype))
+        v_l = v_l.at[:, page_ids, offs].set(jnp.swapaxes(vv, 0, 1).astype(v_l.dtype))
+
+        g = h // hkv
+        qg = q[:, 0].reshape(b, hkv, g, hd)  # heads grouped per kv head
+        if jax.devices()[0].platform == "tpu":
+            from usdm_tpu.ops.paged_attention import paged_decode_attention
+
+            attn = paged_decode_attention(
+                qg, k_l, v_l, page_table, pos + 1, sliding_window=cfg.sliding_window
+            )
+        else:
+            from usdm_tpu.ops.paged_attention import paged_decode_attention_reference
+
+            attn = paged_decode_attention_reference(
+                qg, k_l, v_l, page_table, pos + 1, sliding_window=cfg.sliding_window
+            )
+        attn = attn.reshape(b, 1, h * hd)
+        x = x + attn @ lp["wo"]
+        y = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + (jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])) @ lp["w_down"]
+        return x, (k_l, v_l)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], kv.k_pages, kv.v_pages))
+    x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = (x[:, 0] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    logits = jnp.where(allow_masks, logits, NEG_INF)
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    nxt = jnp.where(active, nxt, 0)
+    return nxt, PagedKV(new_k, new_v)
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size"), donate_argnums=(1,))
+def paged_prefill(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    input_ids: jnp.ndarray,  # [1, T] right-padded prompt
+    input_len: jnp.ndarray,  # [1]
+    page_table_row: jnp.ndarray,  # [maxp] this request's pages
+    allow_mask: jnp.ndarray,  # [V]
+    page_size: int,
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """Prefill one request into its pages -> (first generated token, kv')."""
+    b, t = input_ids.shape
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cdt = jnp.dtype(cfg.dtype)
+
+    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    seg = jnp.where(positions < input_len[:, None], 0, -1)
+    x = params["embed"].astype(cdt)[input_ids]
+    cos, sin = M.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    tpos = jnp.arange(t)
+    pages_t = page_table_row[jnp.minimum(tpos // page_size, page_table_row.shape[0] - 1)]
+    # bucket padding may extend past this request's allocation: send padded
+    # positions to the reserved trash page instead of page-table row 0.
+    trash = kv.k_pages.shape[2] - 1
+    pages_t = jnp.where(tpos < input_len[0], pages_t, trash)
+    offs_t = tpos % page_size
+
+    def body(x, xs):
+        lp, k_l, v_l = xs
+        y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q = (y @ lp["wq"]).reshape(b, t, h, hd)
+        kk = (y @ lp["wk"]).reshape(b, t, hkv, hd)
+        vv = (y @ lp["wv"]).reshape(b, t, hkv, hd)
+        q = M.apply_rope(q, cos, sin)
+        kk = M.apply_rope(kk, cos, sin)
+        attn = mha(q, kk, vv, q_segment_ids=seg, kv_segment_ids=seg,
+                   q_positions=positions, kv_positions=positions,
+                   causal=True, sliding_window=cfg.sliding_window, impl="auto")
+        x = x + attn.reshape(b, t, h * hd) @ lp["wo"]
+        y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + (jax.nn.silu(y2 @ lp["w_gate"]) * (y2 @ lp["w_up"])) @ lp["w_down"]
+
+        k_l = k_l.at[:, pages_t, offs_t].set(kk[0].transpose(1, 0, 2).astype(k_l.dtype))
+        v_l = v_l.at[:, pages_t, offs_t].set(vv[0].transpose(1, 0, 2).astype(v_l.dtype))
+        return x, (k_l, v_l)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], kv.k_pages, kv.v_pages))
+    x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.clip(input_len - 1, 0, t - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = (x_last @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    logits = jnp.where(allow_mask[None], logits, NEG_INF)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+    return first, PagedKV(new_k, new_v)
+
+
+# ---------------------------------------------------------------------------
+# Host-side scheduler (continuous batching)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt_ids: List[int]
+    allow_mask: np.ndarray  # [V] bool
+    eos_id: int
+    max_new_tokens: int = 256
+    # filled by the engine:
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+
+
+class PagedEngine:
+    """Continuous-batching engine over the paged KV pool."""
+
+    def __init__(self, params: M.Params, cfg: MistralConfig, ecfg: EngineConfig):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        ps = ecfg.page_size
+        # +1: the last page is a reserved scratch target for inactive slots
+        n_pages = ecfg.max_batch_size * ecfg.max_pages_per_seq + 1
+        self.kv = PagedKV.create(cfg, n_pages, ps)
+        self.free_pages: List[int] = list(range(n_pages - 1))
+        b = ecfg.max_batch_size
+        self.page_table = np.zeros((b, ecfg.max_pages_per_seq), np.int32)
+        self.seq_lens = np.zeros(b, np.int32)
+        self.tokens = np.zeros(b, np.int32)
+        self.active = np.zeros(b, bool)
+        self.allow = np.ones((b, cfg.vocab_size), bool)
+        self.eos = np.zeros(b, np.int32)
+        self.slot_req: List[Optional[Request]] = [None] * b
+        self.slot_pages: List[List[int]] = [[] for _ in range(b)]
+        self.waiting: List[Request] = []
+        self.steps = 0
+
+    # ------------------------------------------------------------ scheduling
+    def submit(self, req: Request) -> None:
+        self.waiting.append(req)
+
+    def _pages_needed(self, n_tokens: int) -> int:
+        return -(-n_tokens // self.ecfg.page_size)
+
+    def _try_admit(self) -> None:
+        for slot in range(self.ecfg.max_batch_size):
+            if self.active[slot] or not self.waiting:
+                continue
+            req = self.waiting[0]
+            need = self._pages_needed(len(req.prompt_ids) + req.max_new_tokens)
+            if need > self.ecfg.max_pages_per_seq or need > len(self.free_pages):
+                break  # head-of-line blocking: wait for frees
+            self.waiting.pop(0)
+            pages = [self.free_pages.pop() for _ in range(need)]
+            self.slot_pages[slot] = pages
+            row = np.zeros(self.ecfg.max_pages_per_seq, np.int32)
+            row[: len(pages)] = pages
+            self.page_table[slot] = row
+
+            # bucketed prefill
+            n = len(req.prompt_ids)
+            bucket = max(128, -(-n // 128) * 128)
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :n] = req.prompt_ids
+            first, self.kv = paged_prefill(
+                self.params, self.kv, self.cfg,
+                jnp.asarray(padded), jnp.asarray([n], jnp.int32),
+                jnp.asarray(row), jnp.asarray(req.allow_mask),
+                self.ecfg.page_size,
+            )
+            first = int(first)
+            req.output_ids.append(first)
+            self.slot_req[slot] = req
+            self.seq_lens[slot] = n
+            self.tokens[slot] = first
+            self.active[slot] = True
+            self.allow[slot] = req.allow_mask
+            self.eos[slot] = req.eos_id
+            if first == req.eos_id or len(req.output_ids) >= req.max_new_tokens:
+                self._finish(slot)
+
+    def _finish(self, slot: int) -> None:
+        req = self.slot_req[slot]
+        if req is not None:
+            req.finished = True
+        self.free_pages.extend(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.active[slot] = False
+        self.slot_req[slot] = None
+
+    # ------------------------------------------------------------------ run
+    def step(self) -> int:
+        """Admit + one decode step; returns number of active slots."""
+        self._try_admit()
+        if not self.active.any():
+            return 0
+        nxt, self.kv = paged_decode_step(
+            self.params, self.kv, self.cfg,
+            jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
+            jnp.asarray(self.page_table), jnp.asarray(self.active),
+            jnp.asarray(self.allow), self.ecfg.page_size,
+        )
+        nxt = np.asarray(nxt)
+        self.steps += 1
+        for slot in range(self.ecfg.max_batch_size):
+            if not self.active[slot]:
+                continue
+            self.seq_lens[slot] += 1
+            tok = int(nxt[slot])
+            req = self.slot_req[slot]
+            req.output_ids.append(tok)
+            self.tokens[slot] = tok
+            total = int(self.seq_lens[slot]) + 1
+            if (
+                tok == req.eos_id
+                or len(req.output_ids) >= req.max_new_tokens
+                or total >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
+            ):
+                self._finish(slot)
+        return int(self.active.sum())
+
+    def run(self, requests: List[Request]) -> List[Request]:
+        for r in requests:
+            self.submit(r)
+        while self.waiting or self.active.any():
+            self.step()
+        return requests
