@@ -123,3 +123,18 @@ def test_default_template_matches_reference_shape():
     t = default_template("<|unit1|>", user_text="hi", agent_text="yo")
     assert t.startswith("Below is a conversation")
     assert "\n### User\n<|unit1|><|correspond|>hi\n### Agent\nyo<|correspond|>" in t
+
+
+def test_prefix_reuse_matches_full_prefill(tiny_lm):
+    """The KV-reuse chain must produce identical stage outputs to the
+    reference-style full re-prefill chain."""
+    tok, cfg, params = tiny_lm
+    p_full = DialogPolicy(params, cfg, tok, max_new_tokens=12, reuse_prefix=False)
+    p_reuse = DialogPolicy(params, cfg, tok, max_new_tokens=12, reuse_prefix=True, cache_len=512)
+    units = [1, 4, 2, 7]
+    import jax
+    with jax.default_matmul_precision("highest"):
+        r_full = p_full.respond_to_units(units)
+        r_reuse = p_reuse.respond_to_units(units)
+    assert r_full.stage_tokens == r_reuse.stage_tokens
+    assert r_full.agent_units == r_reuse.agent_units

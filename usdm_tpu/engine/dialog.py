@@ -21,7 +21,7 @@ import numpy as np
 from usdm_tpu.core.config import MistralConfig, TokenSpace
 from usdm_tpu.core.tokenizer import UsdmTokenizer
 from usdm_tpu.audio.units import parse_units, units_to_string
-from usdm_tpu.engine.generate import generate
+from usdm_tpu.engine.generate import generate, generate_with_cache
 from usdm_tpu.models import mistral as M
 from usdm_tpu.ops.sampling import (
     STAGE_TEXT2TEXT,
@@ -74,6 +74,8 @@ class DialogPolicy:
         tokenizer: UsdmTokenizer,
         max_new_tokens: int = 1024,
         attn_impl: str = "auto",
+        reuse_prefix: bool = True,
+        cache_len: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -81,6 +83,13 @@ class DialogPolicy:
         self.ts = tokenizer.ts
         self.max_new_tokens = max_new_tokens
         self.attn_impl = attn_impl
+        # prefix reuse: keep the KV cache across the 3 stages and only
+        # prefill each stage's template suffix (the reference re-prefills
+        # the full prompt per stage, inference.py:62-82)
+        self.reuse_prefix = reuse_prefix
+        self.cache_len = cache_len or min(cfg.max_seq_len, 8192)
+        self._cache = None
+        self._cached_ids: List[int] = []
         self._masks = {
             s: jnp.asarray(stage_allow_mask(s, self.ts))
             for s in (STAGE_UNIT2TEXT, STAGE_TEXT2TEXT, STAGE_TEXT2UNIT)
@@ -88,6 +97,8 @@ class DialogPolicy:
 
     def _run_stage(self, stage: str, prompt: str, max_new: Optional[int] = None) -> List[int]:
         ids = self.tok.encode(prompt)
+        if self.reuse_prefix:
+            return self._run_stage_cached(stage, ids, max_new)
         # bucket the prompt length to a 128 multiple so `generate` compiles
         # once per bucket, not once per prompt (the reference re-prefills and
         # re-traces per call; XLA jit makes padding the cheaper currency)
@@ -109,8 +120,40 @@ class DialogPolicy:
         n = int(lengths[0])
         return np.asarray(tokens[0, :n]).tolist()
 
+    def _run_stage_cached(self, stage: str, ids: List[int], max_new: Optional[int] = None) -> List[int]:
+        """Stage decode reusing the cached common prompt prefix."""
+        common = 0
+        if self._cache is not None:
+            limit = min(len(self._cached_ids), len(ids))
+            while common < limit and self._cached_ids[common] == ids[common]:
+                common += 1
+        if self._cache is None or common == 0:
+            self._cache = M.KVCache.create(self.cfg, 1, self.cache_len)
+            common = 0
+        suffix = ids[common:]
+        bucket = max(64, -(-len(suffix) // 64) * 64)
+        padded = np.full((1, bucket), self.ts.pad_id, np.int32)
+        padded[0, : len(suffix)] = suffix
+        # roll the cache back to the shared prefix, then extend with the suffix
+        cache = M.KVCache(self._cache.k, self._cache.v, jnp.asarray([common], jnp.int32))
+        tokens, lengths, cache = generate_with_cache(
+            self.params, self.cfg, cache,
+            jnp.asarray(padded), jnp.asarray([len(suffix)], jnp.int32),
+            self._masks[stage],
+            jnp.asarray(stage_eos(stage, self.ts), jnp.int32),
+            max_new_tokens=max_new or self.max_new_tokens,
+            attn_impl=self.attn_impl,
+        )
+        self._cache = cache
+        self._cached_ids = list(ids)  # generated tokens are NOT part of the
+        # reusable prefix (the next stage's template re-derives them from text)
+        n = int(lengths[0])
+        return np.asarray(tokens[0, :n]).tolist()
+
     def respond_to_units(self, user_units: List[int]) -> DialogResult:
         user_unit_str = units_to_string(user_units)
+        self._cache = None  # fresh conversation
+        self._cached_ids = []
 
         # Stage A: unit2text (ASR)
         out_a = self._run_stage(STAGE_UNIT2TEXT, default_template(user_unit_str))

@@ -89,3 +89,52 @@ def generate(
     eos_pos = jnp.argmax(is_eos, axis=1)
     lengths = jnp.where(any_eos, eos_pos + 1, state.n)
     return state.tokens, lengths
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "attn_impl"))
+def generate_with_cache(
+    params: M.Params,
+    cfg: MistralConfig,
+    cache: M.KVCache,
+    suffix_ids: jnp.ndarray,  # [B, T'] right-padded continuation of the prompt
+    suffix_len: jnp.ndarray,  # [B]
+    allow_mask: jnp.ndarray,
+    eos_id: jnp.ndarray,
+    max_new_tokens: int = 256,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray, M.KVCache]:
+    """Constrained greedy generation continuing an existing KV cache.
+
+    The prefix-reuse path of the 3-stage dialog chain: the cached stage-N
+    prompt stays in HBM and only the stage-N+1 template suffix is prefixed
+    (M.prefill_extend), unlike the reference which re-runs the whole prompt
+    per stage (inference.py:62-82).  Returns (tokens, lengths, cache).
+    """
+    b = suffix_ids.shape[0]
+    logits, cache = M.prefill_extend(params, cfg, cache, suffix_ids, suffix_len, attn_impl=attn_impl)
+    first = jnp.argmax(apply_mask(logits, allow_mask[None]), axis=-1).astype(jnp.int32)
+
+    tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32).at[:, 0].set(first)
+    state = GenState(
+        cache=cache, tokens=tokens0, last=first,
+        done=first == eos_id, n=jnp.asarray(1, jnp.int32),
+    )
+
+    def cond(s: GenState):
+        return jnp.logical_and(s.n < max_new_tokens, ~jnp.all(s.done))
+
+    def body(s: GenState):
+        logits, cache = M.decode_step(params, cfg, s.last, s.cache)
+        nxt = jnp.argmax(apply_mask(logits, allow_mask[None]), axis=-1).astype(jnp.int32)
+        nxt = jnp.where(s.done, 0, nxt)
+        cache = M.KVCache(cache.k, cache.v, jnp.where(s.done, s.cache.length, cache.length))
+        tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.n))
+        done = jnp.logical_or(s.done, nxt == eos_id)
+        return GenState(cache, tokens, nxt, done, s.n + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+    is_eos = state.tokens == eos_id
+    any_eos = jnp.any(is_eos, axis=1)
+    eos_pos = jnp.argmax(is_eos, axis=1)
+    lengths = jnp.where(any_eos, eos_pos + 1, state.n)
+    return state.tokens, lengths, state.cache

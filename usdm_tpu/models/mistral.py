@@ -396,3 +396,66 @@ def extend_embeddings(params: Params, cfg: MistralConfig, new_vocab: int, key: j
     out["embed"] = jnp.concatenate([params["embed"], new_in], axis=0)
     out["lm_head"] = jnp.concatenate([params["lm_head"], new_out], axis=1)
     return out
+
+
+def prefill_extend(
+    params: Params,
+    cfg: MistralConfig,
+    cache: KVCache,
+    new_ids: jnp.ndarray,  # [B, T'] right-padded continuation tokens
+    new_len: jnp.ndarray,  # [B] valid continuation tokens
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Extend an existing cache with a chunk of prompt tokens.
+
+    Enables prefix reuse across the 3-stage dialog chain: the reference
+    re-prefills the whole prompt at every stage (inference.py:62-82); here
+    stage N+1 only runs its *suffix* against the cached prefix.  Also the
+    building block for chunked prefill.  Returns last-valid-token logits.
+    """
+    b, t = new_ids.shape
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cdt = jnp.dtype(cfg.dtype)
+    s = cache.k.shape[2]
+    off = cache.length  # [B] existing tokens
+
+    positions = off[:, None] + jnp.arange(t)[None, :]  # [B, T'] absolute
+    q_seg = jnp.where(jnp.arange(t)[None, :] < new_len[:, None], 0, -1)
+    kv_pos_full = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    kv_seg_full = jnp.where(kv_pos_full < (off + new_len)[:, None], 0, -1)
+
+    x = params["embed"].astype(cdt)[new_ids]
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    def upd(cache_bshd, new_btHd):
+        return jax.vmap(
+            lambda c, nvals, o: jax.lax.dynamic_update_slice(c, nvals.astype(c.dtype), (o, 0, 0))
+        )(cache_bshd, new_btHd, off)
+
+    def body(x, xs):
+        lp, k_l, v_l = xs
+        y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q = (y @ lp["wq"]).reshape(b, t, h, hd)
+        kk = (y @ lp["wk"]).reshape(b, t, hkv, hd)
+        vv = (y @ lp["wv"]).reshape(b, t, hkv, hd)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
+        k_l = upd(k_l, kk)
+        v_l = upd(v_l, vv)
+        attn = mha(
+            q, k_l, v_l,
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg_full,
+            q_positions=positions, kv_positions=kv_pos_full,
+            causal=True, sliding_window=cfg.sliding_window, impl=attn_impl,
+        )
+        x = x + attn.reshape(b, t, h * hd) @ lp["wo"]
+        y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + (jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])) @ lp["w_down"]
+        return x, (k_l, v_l)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.clip(new_len - 1, 0, t - 1)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = (x_last @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    return logits, KVCache(new_k, new_v, cache.length + new_len)

@@ -33,21 +33,22 @@ def _decode_kernel(
     page_table_ref,  # [B, maxp] int32
     seq_lens_ref,  # [B] int32 (valid kv count per slot)
     # blocks
-    q_ref,  # [1, 1, G, d]
-    k_ref,  # [1, 1, P, d]  (page selected by index_map)
-    v_ref,  # [1, 1, P, d]
-    o_ref,  # [1, 1, G, d]
-    m_scr,  # [G, LANES]
-    l_scr,  # [G, LANES]
-    acc_scr,  # [G, d]
+    q_ref,  # [1, Hkv, G, d]   (whole slot)
+    k_ref,  # [Hkv, 1, P, d]   (one page, all kv heads; selected by index_map)
+    v_ref,  # [Hkv, 1, P, d]
+    o_ref,  # [1, Hkv, G, d]
+    m_scr,  # [Hkv*G, LANES]
+    l_scr,  # [Hkv*G, LANES]
+    acc_scr,  # [Hkv*G, d]
     *,
     scale: float,
     page_size: int,
     window: Optional[int],
+    n_kv_heads: int,
 ):
     b = pl.program_id(0)
-    p = pl.program_id(2)
-    np_ = pl.num_programs(2)
+    p = pl.program_id(1)
+    np_ = pl.num_programs(1)
 
     @pl.when(p == 0)
     def _init():
@@ -65,40 +66,45 @@ def _decode_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0]  # [G, d]
-        k = k_ref[0, 0]  # [P, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [G, P]
-
+        g = q_ref.shape[2]
         kv_pos = page_start + jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
         mask = kv_pos < kv_len
         if window is not None:
             mask = jnp.logical_and(mask, (kv_len - 1) - kv_pos <= window)
-        s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[:, :1]
-        l_prev = l_scr[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        pexp = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        l_new = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+        for h in range(n_kv_heads):  # static unroll over kv heads
+            q = q_ref[0, h]  # [G, d]
+            k = k_ref[h, 0]  # [P, d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [G, P]
+            s = jnp.where(mask, s, NEG_INF)
 
-        v = v_ref[0, 0]  # [P, d]
-        pv = jax.lax.dot_general(
-            pexp.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+            row = slice(h * g, (h + 1) * g)
+            m_prev = m_scr[row, :1]
+            l_prev = l_scr[row, :1]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            pexp = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            l_new = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+
+            v = v_ref[h, 0]  # [P, d]
+            pv = jax.lax.dot_general(
+                pexp.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[row, :] = acc_scr[row, :] * alpha + pv
+            m_scr[row, :] = jnp.broadcast_to(m_new, (g, m_scr.shape[1]))
+            l_scr[row, :] = jnp.broadcast_to(l_new, (g, l_scr.shape[1]))
 
     @pl.when(p == np_ - 1)
     def _finalize():
+        g = q_ref.shape[2]
         l = l_scr[:, :1]
         safe = jnp.where(l > 0.0, l, 1.0)
-        o_ref[0, 0] = (acc_scr[...] / safe).astype(o_ref.dtype)
+        out = (acc_scr[...] / safe).astype(o_ref.dtype)  # [Hkv*G, d]
+        o_ref[0] = out.reshape(n_kv_heads, g, out.shape[-1])
 
 
 def paged_decode_attention(
@@ -120,21 +126,35 @@ def paged_decode_attention(
     scale = d**-0.5 if scale is None else scale
 
     kernel = functools.partial(
-        _decode_kernel, scale=scale, page_size=p, window=sliding_window
+        _decode_kernel, scale=scale, page_size=p, window=sliding_window,
+        n_kv_heads=hkv,
     )
+
+    def kv_index(bi, pi, pt, sl):
+        # clamp out-of-range steps to the nearest in-range page: Pallas skips
+        # the DMA when a block index repeats, so pages outside
+        # [first_window_page, last_page] cost nothing.
+        last = jnp.maximum(sl[bi] - 1, 0) // p
+        if sliding_window is not None:
+            first = jnp.maximum(sl[bi] - 1 - sliding_window, 0) // p
+        else:
+            first = 0
+        pi_c = jnp.clip(pi, first, last)
+        return (0, pt[bi, pi_c], 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hkv, maxp),
+        grid=(b, maxp),
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), lambda bi, hi, pi, pt, sl: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, p, d), lambda bi, hi, pi, pt, sl: (hi, pt[bi, pi], 0, 0)),
-            pl.BlockSpec((1, 1, p, d), lambda bi, hi, pi, pt, sl: (hi, pt[bi, pi], 0, 0)),
+            pl.BlockSpec((1, hkv, g, d), lambda bi, pi, pt, sl: (bi, 0, 0, 0)),
+            pl.BlockSpec((hkv, 1, p, d), kv_index),
+            pl.BlockSpec((hkv, 1, p, d), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), lambda bi, hi, pi, pt, sl: (bi, hi, 0, 0)),
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda bi, pi, pt, sl: (bi, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((g, _LANES), jnp.float32),
-            pltpu.VMEM((g, _LANES), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((hkv * g, _LANES), jnp.float32),
+            pltpu.VMEM((hkv * g, _LANES), jnp.float32),
+            pltpu.VMEM((hkv * g, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
