@@ -118,3 +118,31 @@ def test_cfm_train_step(rng):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_vocoder_gan_steps(rng):
+    from usdm_tpu.core.config import BigVGANConfig, MelConfig
+    from usdm_tpu.train import vocoder as VG
+
+    cfg = BigVGANConfig.tiny().replace(num_mels=80)
+    mel_cfg = MelConfig()
+    mesh = create_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    state, gopt, dopt = VG.init_state(cfg, jax.random.PRNGKey(0), periods=(2, 3))
+    disc_step, gen_step = VG.make_train_steps(cfg, mesh, gopt, dopt, mel_cfg,
+                                              resolutions=((256, 64, 128),),
+                                              periods=(2, 3))
+    frames = 32
+    mel = jnp.asarray(rng.standard_normal((1, 80, frames)).astype(np.float32) - 5.0)
+    wav = jnp.asarray(rng.standard_normal((1, 1, frames * cfg.total_upsample)).astype(np.float32) * 0.1)
+    batch = {"mel": mel, "wav": wav}
+
+    state, dmetrics = disc_step(state, batch)
+    state, gmetrics = gen_step(state, batch)
+    assert np.isfinite(float(dmetrics["disc_loss"]))
+    assert np.isfinite(float(gmetrics["gen_loss"]))
+    # a couple more alternating steps: discriminator loss should move
+    d0 = float(dmetrics["disc_loss"])
+    for _ in range(2):
+        state, dmetrics = disc_step(state, batch)
+        state, gmetrics = gen_step(state, batch)
+    assert float(dmetrics["disc_loss"]) != d0

@@ -377,8 +377,8 @@ def init_period_discriminator(key: jax.Array, period: int, d_mult: int = 1,
         "w": jax.random.normal(next(ks), (3, 1, chans[-1], 1), jnp.float32) * 0.02,
         "b": jnp.zeros((1,)),
     }
-    return {"period": period, "convs": convs, "post": post,
-            "kernel_size": kernel_size, "stride": stride}
+    # period/kernel/stride are static structure, kept out of the param pytree
+    return {"convs": convs, "post": post}
 
 
 def _conv2d(x, w, b, stride, padding):
@@ -393,10 +393,11 @@ def _leaky_relu(x, slope=0.1):
     return jnp.where(x >= 0, x, slope * x)
 
 
-def period_discriminator(dp: Params, wav: jnp.ndarray) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+def period_discriminator(dp: Params, wav: jnp.ndarray, period: int,
+                         kernel_size: int = 5, stride: int = 3) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
     """wav [B, 1, T] -> (score [B, N], feature maps).  Pads T to a multiple of
     the period with reflection, then runs strided (k, 1) 2-D convs."""
-    p = dp["period"]
+    p = period
     b, _, t = wav.shape
     if t % p != 0:
         n_pad = p - (t % p)
@@ -404,7 +405,7 @@ def period_discriminator(dp: Params, wav: jnp.ndarray) -> Tuple[jnp.ndarray, Lis
         t = t + n_pad
     x = wav.reshape(b, 1, t // p, p).transpose(0, 2, 3, 1)  # NHWC: [B, T/p, p, 1]
     fmap = []
-    ksz, stride = dp["kernel_size"], dp["stride"]
+    ksz = kernel_size
     pad = (ksz - 1) // 2  # get_padding(5, 1)
     for i, c in enumerate(dp["convs"]):
         st = (stride, 1) if i < 4 else (1, 1)
@@ -417,7 +418,10 @@ def period_discriminator(dp: Params, wav: jnp.ndarray) -> Tuple[jnp.ndarray, Lis
     return x.reshape(b, -1), fmap
 
 
-def init_mpd(key: jax.Array, periods: Sequence[int] = (2, 3, 5, 7, 11), d_mult: int = 1) -> List[Params]:
+DEFAULT_PERIODS = (2, 3, 5, 7, 11)
+
+
+def init_mpd(key: jax.Array, periods: Sequence[int] = DEFAULT_PERIODS, d_mult: int = 1) -> List[Params]:
     keys = jax.random.split(key, len(periods))
     return [init_period_discriminator(k, p, d_mult) for k, p in zip(keys, periods)]
 
@@ -436,8 +440,7 @@ def init_resolution_discriminator(key: jax.Array, d_mult: int = 1) -> Params:
     convs = []
     for (kh, kw), cin, cout, st in shapes:
         w = jax.random.normal(next(ks), (kh, kw, cin, cout), jnp.float32) * 0.02
-        convs.append({"w": w, "b": jnp.zeros((cout,)), "stride": st,
-                      "pad": ((kh // 2, kh // 2), (kw // 2, kw // 2))})
+        convs.append({"w": w, "b": jnp.zeros((cout,))})
     post = {"w": jax.random.normal(next(ks), (3, 3, c, 1), jnp.float32) * 0.02,
             "b": jnp.zeros((1,))}
     return {"convs": convs, "post": post}
@@ -466,8 +469,10 @@ def resolution_discriminator(dr: Params, wav: jnp.ndarray, resolution: Sequence[
     mag = _stft_mag(wav[:, 0, :], n_fft, hop, win)  # [B, F, TT]
     x = mag[:, :, :, None]  # NHWC
     fmap = []
-    for c in dr["convs"]:
-        x = _conv2d(x, c["w"], c["b"], c["stride"], list(c["pad"]))
+    strides = [(1, 1), (1, 2), (1, 2), (1, 2), (1, 1)]
+    for c, st in zip(dr["convs"], strides):
+        kh, kw = c["w"].shape[0], c["w"].shape[1]
+        x = _conv2d(x, c["w"], c["b"], st, [(kh // 2, kh // 2), (kw // 2, kw // 2)])
         x = _leaky_relu(x)
         fmap.append(x)
     x = _conv2d(x, dr["post"]["w"], dr["post"]["b"], (1, 1), [(1, 1), (1, 1)])
@@ -483,12 +488,13 @@ def init_mrd(key: jax.Array, n: int = 3, d_mult: int = 1) -> List[Params]:
     return [init_resolution_discriminator(k, d_mult) for k in keys]
 
 
-def discriminate(mpd: List[Params], mrd: List[Params], resolutions, real: jnp.ndarray, fake: jnp.ndarray):
+def discriminate(mpd: List[Params], mrd: List[Params], resolutions, real: jnp.ndarray, fake: jnp.ndarray,
+                 periods: Sequence[int] = DEFAULT_PERIODS):
     """Run all discriminators on (real, fake) -> scores + feature maps."""
     y_r, y_g, f_r, f_g = [], [], [], []
-    for dp in mpd:
-        sr, fr = period_discriminator(dp, real)
-        sg, fg = period_discriminator(dp, fake)
+    for dp, period in zip(mpd, periods):
+        sr, fr = period_discriminator(dp, real, period)
+        sg, fg = period_discriminator(dp, fake, period)
         y_r.append(sr); y_g.append(sg); f_r.append(fr); f_g.append(fg)
     for dr, res in zip(mrd, resolutions):
         sr, fr = resolution_discriminator(dr, real, res)
