@@ -1,0 +1,123 @@
+"""Checkpoint loader tests: real HF/torch directory formats round-trip."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from usdm_tpu.core import checkpoint as ckpt
+from usdm_tpu.core.config import MistralConfig, TrainConfig
+
+
+def test_load_mistral_hf_dir(tmp_path, rng):
+    """save_pretrained dir -> load_mistral -> logits match HF forward."""
+    from transformers import MistralConfig as HFConfig
+    from transformers.models.mistral.modeling_mistral import MistralForCausalLM
+
+    hf_cfg = HFConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        rms_norm_eps=1e-5, rope_theta=10000.0, sliding_window=32,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = MistralForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path / "m")
+
+    params, cfg = ckpt.load_mistral(str(tmp_path / "m"), dtype="float32")
+    assert cfg.vocab_size == 64 and cfg.num_layers == 2 and cfg.head_dim == 8
+
+    from usdm_tpu.models import mistral as M
+
+    ids = rng.integers(0, 64, (1, 10))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(M.forward(params, cfg, jnp.asarray(ids), attn_impl="xla"))
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_load_bigvgan_dir(tmp_path):
+    """config.json + bigvgan_generator.pt ({'generator': sd}) loads."""
+    from usdm_tpu.core.config import BigVGANConfig
+    from usdm_tpu.models import bigvgan as BV
+
+    cfg = BigVGANConfig.tiny()
+    h = {
+        "num_mels": cfg.num_mels,
+        "upsample_initial_channel": cfg.upsample_initial_channel,
+        "upsample_rates": list(cfg.upsample_rates),
+        "upsample_kernel_sizes": list(cfg.upsample_kernel_sizes),
+        "resblock_kernel_sizes": list(cfg.resblock_kernel_sizes),
+        "resblock_dilation_sizes": [list(d) for d in cfg.resblock_dilation_sizes],
+        "resblock": cfg.resblock,
+        "activation": cfg.activation,
+        "snake_logscale": cfg.snake_logscale,
+        "sampling_rate": cfg.sampling_rate,
+    }
+    d = tmp_path / "bv"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(h))
+
+    # build a weight-normed torch state dict matching the reference layout
+    torch.manual_seed(0)
+    sd = {}
+    ch0 = cfg.upsample_initial_channel
+
+    def wn(prefix, shape, bias_dim):
+        v = torch.randn(*shape)
+        g = torch.rand(shape[0], *([1] * (len(shape) - 1))) + 0.5
+        sd[prefix + ".weight_v"] = v
+        sd[prefix + ".weight_g"] = g
+        sd[prefix + ".bias"] = torch.randn(bias_dim)
+
+    wn("conv_pre", (ch0, cfg.num_mels, 7), ch0)
+    nk = len(cfg.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cin, cout = ch0 // (2**i), ch0 // (2 ** (i + 1))
+        wn(f"ups.{i}.0", (cin, cout, k), cout)
+        for j, kernel in enumerate(cfg.resblock_kernel_sizes):
+            r = i * nk + j
+            for ci in range(len(cfg.resblock_dilation_sizes[j])):
+                wn(f"resblocks.{r}.convs1.{ci}", (cout, cout, kernel), cout)
+                wn(f"resblocks.{r}.convs2.{ci}", (cout, cout, kernel), cout)
+            for ai in range(2 * len(cfg.resblock_dilation_sizes[j])):
+                sd[f"resblocks.{r}.activations.{ai}.act.alpha"] = torch.randn(cout)
+                sd[f"resblocks.{r}.activations.{ai}.act.beta"] = torch.randn(cout)
+    ch_last = ch0 // (2 ** len(cfg.upsample_rates))
+    sd["activation_post.act.alpha"] = torch.randn(ch_last)
+    sd["activation_post.act.beta"] = torch.randn(ch_last)
+    wn("conv_post", (1, ch_last, 7), 1)
+    torch.save({"generator": sd}, d / "bigvgan_generator.pt")
+
+    params, loaded_cfg = ckpt.load_bigvgan(str(d))
+    assert loaded_cfg == cfg
+    wav = BV.generator(params, loaded_cfg, jnp.zeros((1, cfg.num_mels, 8)))
+    assert bool(jnp.all(jnp.isfinite(wav)))
+
+
+def test_orbax_roundtrip(tmp_path):
+    from usdm_tpu.core.mesh import create_mesh
+    from usdm_tpu.train import lm as T
+
+    cfg = MistralConfig.tiny(vocab_size=64)
+    tc = TrainConfig(batch_size=1, max_steps=4)
+    mesh = create_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    state, _ = T.init_state(cfg, tc, mesh, jax.random.PRNGKey(0))
+
+    path = str(tmp_path / "ckpt")
+    ckpt.save_train_state(path, state, step=3)
+    assert ckpt.latest_step(path) == 3
+    restored = ckpt.restore_train_state(path, state)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["layers"]["wq"]), np.asarray(state.params["layers"]["wq"])
+    )
+    assert int(restored.step) == int(state.step)
+
+    # second save with keep=2, then latest
+    ckpt.save_train_state(path, state, step=7, keep=2)
+    assert ckpt.latest_step(path) == 7

@@ -39,7 +39,6 @@ def main() -> int:
 
     import numpy as np
 
-    from usdm_tpu.audio.wav import read_wav, resample, write_wav
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir")

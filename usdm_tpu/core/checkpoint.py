@@ -15,7 +15,7 @@ import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
+
 import numpy as np
 
 Params = Dict[str, Any]
@@ -93,6 +93,7 @@ def load_mistral(path: str, cfg=None, dtype: Optional[str] = None):
             rope_theta=hf.get("rope_theta", 10000.0),
             rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
             sliding_window=hf.get("sliding_window") or 4096,
+            dtype=dtype or "bfloat16",
         )
     state = read_state_dict(path)
     if "lm_head.weight" not in state and "model.embed_tokens.weight" in state:

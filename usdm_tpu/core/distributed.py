@@ -17,7 +17,7 @@ from __future__ import annotations
 import contextlib
 import os
 import traceback
-from typing import Any, Optional
+from typing import Optional
 
 
 def initialize(

@@ -13,8 +13,8 @@ Axis conventions used across the framework:
 from __future__ import annotations
 
 import contextlib
-from functools import partial
-from typing import Any, Optional, Sequence
+
+from typing import Any
 
 import jax
 import numpy as np

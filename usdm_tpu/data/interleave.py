@@ -24,7 +24,7 @@ import random
 import re
 from typing import List, Optional, Sequence, Tuple
 
-import numpy as np
+
 
 SEGMENT_SECONDS = 10
 TOKEN_SR = 50

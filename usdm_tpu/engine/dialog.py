@@ -13,12 +13,12 @@ text post-processing reproduces `strip_exact_multiple` splits
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
-from usdm_tpu.core.config import MistralConfig, TokenSpace
+from usdm_tpu.core.config import MistralConfig
 from usdm_tpu.core.tokenizer import UsdmTokenizer
 from usdm_tpu.audio.units import parse_units, units_to_string
 from usdm_tpu.engine.generate import generate, generate_with_cache

@@ -449,8 +449,6 @@ def init_resolution_discriminator(key: jax.Array, d_mult: int = 1) -> Params:
 def _stft_mag(wav: jnp.ndarray, n_fft: int, hop: int, win: int) -> jnp.ndarray:
     """[B, T] -> [B, F, frames] magnitude, torch.stft(center=False) semantics
     with the reference's (n_fft - hop)/2 reflect pre-pad (models.py:419-427)."""
-    from usdm_tpu.audio.mel import stft_magnitude
-
     pad = int((n_fft - hop) / 2)
     wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
     # reference uses rectangular window (no window arg to torch.stft)

@@ -18,7 +18,7 @@ GQA is handled without materializing repeated K/V: queries are reshaped to
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -15,7 +15,7 @@ Stage contract (SURVEY.md §3):
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

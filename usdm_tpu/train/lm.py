@@ -19,7 +19,7 @@ program; nothing touches the host between steps.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -28,7 +28,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from usdm_tpu.core.config import MistralConfig, TrainConfig
-from usdm_tpu.core.mesh import DATA_AXIS, create_mesh, logical_to_sharding
+from usdm_tpu.core.mesh import DATA_AXIS
 from usdm_tpu.models import mistral as M
 
 

@@ -9,7 +9,7 @@ only the adapters receive gradients.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +17,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from usdm_tpu.core.config import MistralConfig, TrainConfig
-from usdm_tpu.core.mesh import DATA_AXIS
+
 from usdm_tpu.models import mistral as M
 
 Params = Dict[str, Any]

@@ -11,7 +11,7 @@ x45, AdamW(0.8, 0.99) with exponential decay.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
