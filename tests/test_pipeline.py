@@ -1,0 +1,58 @@
+"""Full-pipeline plumbing tests (tiny random models, CPU)."""
+
+import numpy as np
+import pytest
+
+from usdm_tpu.audio.wav import read_wav, write_wav
+from usdm_tpu.pipeline import UsdmPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return UsdmPipeline.tiny_random()
+
+
+@pytest.fixture
+def user_wav(tmp_path, rng):
+    path = str(tmp_path / "user.wav")
+    write_wav(path, (rng.standard_normal(16000) * 0.1).astype(np.float32), 16000)
+    return path
+
+
+@pytest.fixture
+def ref_wav(tmp_path, rng):
+    path = str(tmp_path / "ref.wav")
+    write_wav(path, (rng.standard_normal(22050) * 0.1).astype(np.float32), 22050)
+    return path
+
+
+def test_respond_without_reference(pipe, user_wav, tmp_path):
+    out = str(tmp_path / "out.wav")
+    result = pipe.respond(user_wav, out, None, n_timesteps=2)
+    assert isinstance(result.user_text, str)
+    assert all(0 <= u < pipe.tokenizer.ts.num_units for u in result.agent_units)
+    if result.agent_units:
+        wav, sr = read_wav(out)
+        assert sr == 22050
+        assert len(wav) > 0
+        assert np.isfinite(wav).all()
+
+
+def test_respond_with_speaker_reference(pipe, user_wav, ref_wav, tmp_path):
+    """The speaker-adaptation path (reference model_util.py:77-94): reference
+    units+mel become a renoised speech prompt that is sliced off the output."""
+    out = str(tmp_path / "out_ref.wav")
+    result = pipe.respond(user_wav, out, ref_wav, n_timesteps=2)
+    assert isinstance(result.agent_text, str)
+    if result.agent_units:
+        wav, _ = read_wav(out)
+        # output covers only the agent units, not the reference prompt
+        expected = len(result.agent_units) * (22050 // 50) // 256 * pipe.decoder.vocoder_cfg.total_upsample
+        assert abs(len(wav) - expected) <= pipe.decoder.vocoder_cfg.total_upsample
+
+
+def test_extract_units_range(pipe, rng):
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    units = pipe.extract_units(wav)
+    assert len(units) > 0
+    assert all(0 <= u < pipe.xlsr_cfg.num_clusters for u in units)

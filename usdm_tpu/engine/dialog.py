@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -76,6 +77,10 @@ class DialogPolicy:
         attn_impl: str = "auto",
         reuse_prefix: bool = True,
         cache_len: Optional[int] = None,
+        top_k: int = 1,
+        top_p: float = 1.0,
+        temperature: float = 1.0,
+        seed: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -88,6 +93,12 @@ class DialogPolicy:
         # the full prompt per stage, inference.py:62-82)
         self.reuse_prefix = reuse_prefix
         self.cache_len = cache_len or min(cfg.max_seq_len, 8192)
+        # sampling hparams (reference default greedy; demo exposes sliders,
+        # streamlit_demo.py:195-205)
+        self.top_k = top_k
+        self.top_p = top_p
+        self.temperature = temperature
+        self._key = jax.random.PRNGKey(seed)
         self._cache = None
         self._cached_ids: List[int] = []
         self._masks = {
@@ -116,12 +127,24 @@ class DialogPolicy:
             jnp.asarray(stage_eos(stage, self.ts), jnp.int32),
             max_new_tokens=max_new or self.max_new_tokens,
             attn_impl=self.attn_impl,
+            top_k=self.top_k, top_p=self.top_p, temperature=self.temperature,
+            key=self._next_key(),
         )
         n = int(lengths[0])
         return np.asarray(tokens[0, :n]).tolist()
 
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
     def _run_stage_cached(self, stage: str, ids: List[int], max_new: Optional[int] = None) -> List[int]:
         """Stage decode reusing the cached common prompt prefix."""
+        required = len(ids) + (max_new or self.max_new_tokens) + 1
+        if required > self.cache_len:
+            # grow to the next 512 bucket; the old prefix is discarded
+            self.cache_len = -(-required // 512) * 512
+            self._cache = None
+            self._cached_ids = []
         common = 0
         if self._cache is not None:
             limit = min(len(self._cached_ids), len(ids))
@@ -143,6 +166,8 @@ class DialogPolicy:
             jnp.asarray(stage_eos(stage, self.ts), jnp.int32),
             max_new_tokens=max_new or self.max_new_tokens,
             attn_impl=self.attn_impl,
+            top_k=self.top_k, top_p=self.top_p, temperature=self.temperature,
+            key=self._next_key(),
         )
         self._cache = cache
         self._cached_ids = list(ids)  # generated tokens are NOT part of the

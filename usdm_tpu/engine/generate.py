@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from usdm_tpu.core.config import MistralConfig
 from usdm_tpu.models import mistral as M
-from usdm_tpu.ops.sampling import apply_mask
+from usdm_tpu.ops.sampling import apply_mask, sample_token
 
 
 class GenState(NamedTuple):
@@ -29,11 +29,21 @@ class GenState(NamedTuple):
     last: jnp.ndarray  # [B] last emitted token
     done: jnp.ndarray  # [B] bool
     n: jnp.ndarray  # scalar step counter
+    key: jax.Array  # PRNG state (unused under greedy decoding)
+
+
+def _pick(logits, allow_mask, key, top_k, top_p, temperature):
+    """Constrained token selection; greedy when top_k == 1 (the reference
+    default, inference.py:64-82), otherwise top-k/top-p sampling."""
+    masked = apply_mask(logits, allow_mask[None])
+    if top_k == 1:
+        return jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    return sample_token(masked, key=key, top_k=top_k, top_p=top_p, temperature=temperature)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "attn_impl"),
+    static_argnames=("cfg", "max_new_tokens", "attn_impl", "top_k", "top_p", "temperature"),
 )
 def generate(
     params: M.Params,
@@ -45,8 +55,13 @@ def generate(
     max_new_tokens: int = 256,
     cache_len: Optional[int] = None,
     attn_impl: str = "auto",
+    top_k: int = 1,
+    top_p: float = 1.0,
+    temperature: float = 1.0,
+    key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy constrained generation.
+    """Constrained generation: greedy by default, top-k/top-p sampled when
+    requested (streamlit demo hparams, streamlit_demo.py:195-205).
 
     Returns (tokens [B, max_new_tokens] with EOS included then padding,
     lengths [B] = number of emitted tokens incl. EOS).
@@ -54,9 +69,11 @@ def generate(
     b, t = input_ids.shape
     total = t + max_new_tokens if cache_len is None else cache_len
     cache = M.KVCache.create(cfg, b, total)
+    key = jax.random.PRNGKey(0) if key is None else key
 
     logits, cache = M.prefill(params, cfg, input_ids, input_len, cache, attn_impl=attn_impl)
-    first = jnp.argmax(apply_mask(logits, allow_mask[None]), axis=-1).astype(jnp.int32)
+    key, k0 = jax.random.split(key)
+    first = _pick(logits, allow_mask, k0, top_k, top_p, temperature)
 
     tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32)
     tokens0 = tokens0.at[:, 0].set(first)
@@ -66,6 +83,7 @@ def generate(
         last=first,
         done=first == eos_id,
         n=jnp.asarray(1, jnp.int32),
+        key=key,
     )
 
     def cond(s: GenState):
@@ -73,13 +91,14 @@ def generate(
 
     def body(s: GenState):
         logits, cache = M.decode_step(params, cfg, s.last, s.cache)
-        nxt = jnp.argmax(apply_mask(logits, allow_mask[None]), axis=-1).astype(jnp.int32)
+        key, ks = jax.random.split(s.key)
+        nxt = _pick(logits, allow_mask, ks, top_k, top_p, temperature)
         # frozen rows keep emitting pad(0) and stop advancing their cache len
         nxt = jnp.where(s.done, 0, nxt)
         cache = M.KVCache(cache.k, cache.v, jnp.where(s.done, s.cache.length, cache.length))
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.n))
         done = jnp.logical_or(s.done, nxt == eos_id)
-        return GenState(cache, tokens, nxt, done, s.n + 1)
+        return GenState(cache, tokens, nxt, done, s.n + 1, key)
 
     state = jax.lax.while_loop(cond, body, state)
 
@@ -91,7 +110,7 @@ def generate(
     return state.tokens, lengths
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "attn_impl"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "attn_impl", "top_k", "top_p", "temperature"))
 def generate_with_cache(
     params: M.Params,
     cfg: MistralConfig,
@@ -102,6 +121,10 @@ def generate_with_cache(
     eos_id: jnp.ndarray,
     max_new_tokens: int = 256,
     attn_impl: str = "auto",
+    top_k: int = 1,
+    top_p: float = 1.0,
+    temperature: float = 1.0,
+    key: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, M.KVCache]:
     """Constrained greedy generation continuing an existing KV cache.
 
@@ -111,13 +134,15 @@ def generate_with_cache(
     per stage (inference.py:62-82).  Returns (tokens, lengths, cache).
     """
     b = suffix_ids.shape[0]
+    key = jax.random.PRNGKey(0) if key is None else key
     logits, cache = M.prefill_extend(params, cfg, cache, suffix_ids, suffix_len, attn_impl=attn_impl)
-    first = jnp.argmax(apply_mask(logits, allow_mask[None]), axis=-1).astype(jnp.int32)
+    key, k0 = jax.random.split(key)
+    first = _pick(logits, allow_mask, k0, top_k, top_p, temperature)
 
     tokens0 = jnp.zeros((b, max_new_tokens), jnp.int32).at[:, 0].set(first)
     state = GenState(
         cache=cache, tokens=tokens0, last=first,
-        done=first == eos_id, n=jnp.asarray(1, jnp.int32),
+        done=first == eos_id, n=jnp.asarray(1, jnp.int32), key=key,
     )
 
     def cond(s: GenState):
@@ -125,12 +150,13 @@ def generate_with_cache(
 
     def body(s: GenState):
         logits, cache = M.decode_step(params, cfg, s.last, s.cache)
-        nxt = jnp.argmax(apply_mask(logits, allow_mask[None]), axis=-1).astype(jnp.int32)
+        key, ks = jax.random.split(s.key)
+        nxt = _pick(logits, allow_mask, ks, top_k, top_p, temperature)
         nxt = jnp.where(s.done, 0, nxt)
         cache = M.KVCache(cache.k, cache.v, jnp.where(s.done, s.cache.length, cache.length))
         tokens = jax.lax.dynamic_update_slice(s.tokens, nxt[:, None], (0, s.n))
         done = jnp.logical_or(s.done, nxt == eos_id)
-        return GenState(cache, tokens, nxt, done, s.n + 1)
+        return GenState(cache, tokens, nxt, done, s.n + 1, key)
 
     state = jax.lax.while_loop(cond, body, state)
     is_eos = state.tokens == eos_id
