@@ -34,6 +34,7 @@ import numpy as np
 
 from usdm_tpu.core.config import EngineConfig, MistralConfig
 from usdm_tpu.models import mistral as M
+from usdm_tpu.models.quant import qmm
 from usdm_tpu.ops.attention import decode_attention, mha
 from usdm_tpu.ops.sampling import NEG_INF
 
@@ -93,9 +94,9 @@ def paged_decode_step(
     def body(x, xs):
         lp, k_l, v_l = xs
         y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = (y @ lp["wq"]).reshape(b, 1, h, hd)
-        kk = (y @ lp["wk"]).reshape(b, hkv, hd)
-        vv = (y @ lp["wv"]).reshape(b, hkv, hd)
+        q = qmm(y, lp["wq"]).reshape(b, 1, h, hd)
+        kk = qmm(y, lp["wk"]).reshape(b, hkv, hd)
+        vv = qmm(y, lp["wv"]).reshape(b, hkv, hd)
         q = M.apply_rope(q, cos, sin)
         kk = M.apply_rope(kk[:, None], cos, sin)[:, 0]
 
@@ -118,9 +119,9 @@ def paged_decode_step(
                 qg, k_l, v_l, page_table, pos + 1, sliding_window=cfg.sliding_window
             )
         attn = attn.reshape(b, 1, h * hd)
-        x = x + attn @ lp["wo"]
+        x = x + qmm(attn, lp["wo"])
         y = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])) @ lp["w_down"]
+        x = x + qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"])
         return x, (k_l, v_l)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], kv.k_pages, kv.v_pages))
@@ -164,17 +165,17 @@ def paged_prefill(
     def body(x, xs):
         lp, k_l, v_l = xs
         y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = (y @ lp["wq"]).reshape(b, t, h, hd)
-        kk = (y @ lp["wk"]).reshape(b, t, hkv, hd)
-        vv = (y @ lp["wv"]).reshape(b, t, hkv, hd)
+        q = qmm(y, lp["wq"]).reshape(b, t, h, hd)
+        kk = qmm(y, lp["wk"]).reshape(b, t, hkv, hd)
+        vv = qmm(y, lp["wv"]).reshape(b, t, hkv, hd)
         q = M.apply_rope(q, cos, sin)
         kk = M.apply_rope(kk, cos, sin)
         attn = mha(q, kk, vv, q_segment_ids=seg, kv_segment_ids=seg,
                    q_positions=positions, kv_positions=positions,
                    causal=True, sliding_window=cfg.sliding_window, impl="auto")
-        x = x + attn.reshape(b, t, h * hd) @ lp["wo"]
+        x = x + qmm(attn.reshape(b, t, h * hd), lp["wo"])
         y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(y2 @ lp["w_gate"]) * (y2 @ lp["w_up"])) @ lp["w_down"]
+        x = x + qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]), lp["w_down"])
 
         k_l = k_l.at[:, pages_t, offs_t].set(kk[0].transpose(1, 0, 2).astype(k_l.dtype))
         v_l = v_l.at[:, pages_t, offs_t].set(vv[0].transpose(1, 0, 2).astype(v_l.dtype))

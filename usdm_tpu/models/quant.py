@@ -1,0 +1,77 @@
+"""Weight-only int8 quantization for bandwidth-bound decode.
+
+Single-chip 7B decode is HBM-weight-read bound (bench.py: 19 ms/step =
+14.5 GB / 800 GB/s).  Storing the big projection matrices as int8 with
+per-output-channel bf16 scales halves the bytes the decode step streams,
+nearly doubling tokens/s — the TPU counterpart of the int8/low-bit serving
+tricks the GPU stacks use (cf. PAPERS.md VecInfer/Transformer-Lite; fresh
+implementation).
+
+Quantized leaves are dicts {"q": int8 [..., in, out], "s": bf16 [..., out]}
+(symmetric, per-output-channel over the contraction axis).  `qmm` computes
+y @ w for either plain or quantized weights, dequantizing tile-by-tile inside
+the fused XLA matmul so the HBM traffic stays int8.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = -2) -> Dict[str, jnp.ndarray]:
+    """Symmetric int8 over `axis` (the contraction/input axis):
+    w ≈ q * s with per-output-channel scale."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": jnp.squeeze(scale, axis=axis).astype(jnp.bfloat16)}
+
+
+def dequantize_weight(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (qw["q"].astype(jnp.float32) * qw["s"].astype(jnp.float32)[..., None, :]).astype(dtype)
+
+
+def qmm(y: jnp.ndarray, w) -> jnp.ndarray:
+    """y @ w where w is a plain array or a quantized {"q","s"} dict.
+
+    Quantized path is W8A8: activations are dynamically quantized per row and
+    the dot runs int8 x int8 -> int32 on the MXU.  (A bf16-dequant formulation
+    gets loop-hoisted by XLA into a full materialized bf16 weight copy —
+    doubling HBM instead of halving it; int8 operands leave nothing to hoist.)
+    """
+    if isinstance(w, dict) and "q" in w:
+        yf = y.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(yf), axis=-1, keepdims=True)
+        ys = jnp.maximum(amax / 127.0, 1e-8)
+        qy = jnp.clip(jnp.round(yf / ys), -127, 127).astype(jnp.int8)
+        out = jnp.einsum("...i,io->...o", qy, w["q"], preferred_element_type=jnp.int32)
+        return (out.astype(jnp.float32) * ys * w["s"].astype(jnp.float32)).astype(y.dtype)
+    return y @ w
+
+
+def quantize_llm_params(params: Params) -> Params:
+    """Quantize the stacked per-layer projection matrices of a Mistral param
+    tree (embed/lm_head/norms stay bf16 — embed is a gather, lm_head benefits
+    less and dominates logit quality)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in _QUANT_KEYS:
+        layers[name] = quantize_weight(layers[name], axis=-2)
+    out["layers"] = layers
+    return out
+
+
+def quantized_bytes(params: Params) -> int:
+    import numpy as np
+
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+    return total
