@@ -32,6 +32,8 @@ def main(argv=None) -> int:
     p.add_argument("--tokenizer_dir", default=None)
     p.add_argument("--n_timesteps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the LLM to W8A8 int8 (faster decode)")
     p.add_argument("--demo", action="store_true", help="random tiny pipeline (plumbing check)")
     args = p.parse_args(argv)
 
@@ -47,6 +49,7 @@ def main(argv=None) -> int:
         pipe = UsdmPipeline.from_pretrained(
             args.model_dir, args.xlsr_dir, args.kmeans,
             args.voicebox_dir, args.bigvgan_dir, args.tokenizer_dir,
+            lm_int8=args.int8,
         )
 
     result = pipe.respond(

@@ -29,6 +29,7 @@ from jax.sharding import PartitionSpec as P
 
 from usdm_tpu.core.config import MistralConfig
 from usdm_tpu.ops.attention import decode_attention, mha
+from usdm_tpu.models.quant import qmm
 
 Params = Dict[str, Any]
 
@@ -140,9 +141,9 @@ def _layer(
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q = (y @ lp["wq"] + _lora_delta(y, lw, "wq")).reshape(b, t, h, hd)
-    kk = (y @ lp["wk"] + _lora_delta(y, lw, "wk")).reshape(b, t, hkv, hd)
-    vv = (y @ lp["wv"] + _lora_delta(y, lw, "wv")).reshape(b, t, hkv, hd)
+    q = (qmm(y, lp["wq"]) + _lora_delta(y, lw, "wq")).reshape(b, t, h, hd)
+    kk = (qmm(y, lp["wk"]) + _lora_delta(y, lw, "wk")).reshape(b, t, hkv, hd)
+    vv = (qmm(y, lp["wv"]) + _lora_delta(y, lw, "wv")).reshape(b, t, hkv, hd)
     q = apply_rope(q, cos, sin)
     kk = apply_rope(kk, cos, sin)
     attn = mha(
@@ -156,10 +157,10 @@ def _layer(
         impl=attn_impl,
     )
     ao = attn.reshape(b, t, h * hd)
-    x = x + ao @ lp["wo"] + _lora_delta(ao, lw, "wo")
+    x = x + qmm(ao, lp["wo"]) + _lora_delta(ao, lw, "wo")
 
     y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    x = x + (jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])) @ lp["w_down"]
+    x = x + qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"])
     return x
 
 
@@ -267,9 +268,9 @@ def prefill(
     def body(x, lp_and_idx):
         lp, _ = lp_and_idx
         y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = (y @ lp["wq"]).reshape(b, t, h, hd)
-        kk = (y @ lp["wk"]).reshape(b, t, hkv, hd)
-        vv = (y @ lp["wv"]).reshape(b, t, hkv, hd)
+        q = qmm(y, lp["wq"]).reshape(b, t, h, hd)
+        kk = qmm(y, lp["wk"]).reshape(b, t, hkv, hd)
+        vv = qmm(y, lp["wv"]).reshape(b, t, hkv, hd)
         q = apply_rope(q, cos, sin)
         kk = apply_rope(kk, cos, sin)
         attn = mha(
@@ -278,9 +279,9 @@ def prefill(
             q_positions=positions, kv_positions=positions,
             causal=True, sliding_window=cfg.sliding_window, impl=attn_impl,
         )
-        x = x + attn.reshape(b, t, h * hd) @ lp["wo"]
+        x = x + qmm(attn.reshape(b, t, h * hd), lp["wo"])
         y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])) @ lp["w_down"]
+        x = x + qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"])
         return x, (kk, vv)
 
     idx = jnp.arange(cfg.num_layers)
@@ -313,9 +314,9 @@ def decode_step(
         x = carry
         lp, k_l, v_l = layer_in
         y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = (y @ lp["wq"]).reshape(b, 1, h, hd)
-        kk = (y @ lp["wk"]).reshape(b, 1, hkv, hd)
-        vv = (y @ lp["wv"]).reshape(b, 1, hkv, hd)
+        q = qmm(y, lp["wq"]).reshape(b, 1, h, hd)
+        kk = qmm(y, lp["wk"]).reshape(b, 1, hkv, hd)
+        vv = qmm(y, lp["wv"]).reshape(b, 1, hkv, hd)
         q = apply_rope(q, cos, sin)
         kk = apply_rope(kk, cos, sin)
 
@@ -329,9 +330,9 @@ def decode_step(
         v_l = upd(v_l, vv)
 
         attn = decode_attention(q, k_l, v_l, pos + 1, sliding_window=cfg.sliding_window)
-        x = x + attn.reshape(b, 1, h * hd) @ lp["wo"]
+        x = x + qmm(attn.reshape(b, 1, h * hd), lp["wo"])
         y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])) @ lp["w_down"]
+        x = x + qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"])
         return x, (k_l, v_l)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
@@ -435,9 +436,9 @@ def prefill_extend(
     def body(x, xs):
         lp, k_l, v_l = xs
         y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = (y @ lp["wq"]).reshape(b, t, h, hd)
-        kk = (y @ lp["wk"]).reshape(b, t, hkv, hd)
-        vv = (y @ lp["wv"]).reshape(b, t, hkv, hd)
+        q = qmm(y, lp["wq"]).reshape(b, t, h, hd)
+        kk = qmm(y, lp["wk"]).reshape(b, t, hkv, hd)
+        vv = qmm(y, lp["wv"]).reshape(b, t, hkv, hd)
         q = apply_rope(q, cos, sin)
         kk = apply_rope(kk, cos, sin)
         k_l = upd(k_l, kk)
@@ -448,9 +449,9 @@ def prefill_extend(
             q_positions=positions, kv_positions=kv_pos_full,
             causal=True, sliding_window=cfg.sliding_window, impl=attn_impl,
         )
-        x = x + attn.reshape(b, t, h * hd) @ lp["wo"]
+        x = x + qmm(attn.reshape(b, t, h * hd), lp["wo"])
         y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + (jax.nn.silu(y @ lp["w_gate"]) * (y @ lp["w_up"])) @ lp["w_down"]
+        x = x + qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"])
         return x, (k_l, v_l)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))

