@@ -189,6 +189,8 @@ def estimator(
     cond: jnp.ndarray,  # [B, n_feats, T] conditioning mel (zeros when unconditioned)
     t: jnp.ndarray,  # [B] flow time in [0, 1]
     lengths: jnp.ndarray,  # [B] valid frames
+    remat: bool = False,  # checkpoint each layer (training at 16 s crops
+    # needs it: the scan otherwise saves [L/2, B, H, T, T] attention probs)
 ) -> jnp.ndarray:
     """Vector-field estimate u(x, y, cond, t) -> [B, n_feats, T]."""
     b, T = x_units.shape
@@ -248,11 +250,17 @@ def estimator(
     lp_down = jax.tree.map(lambda a: a[:half], lp_all)
     lp_up = jax.tree.map(lambda a: a[half:], lp_all)
 
+    from functools import partial as _partial
+
+    layer_fn = _partial(_encoder_layer, cfg)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
     # down path: emit each layer's INPUT as its skip entry, so the stack is
     # [h_pre, out_0, ..., out_{half-2}] exactly as the reference builds it
     # (networks.py:352-360); popping LIFO == consuming in reverse order.
     def down_step(h, lp):
-        new_h = _encoder_layer(cfg, lp, h, y_mask, bias)
+        new_h = layer_fn(lp, h, y_mask, bias)
         return new_h, h
 
     h, skips = jax.lax.scan(down_step, h, lp_down)
@@ -260,7 +268,7 @@ def estimator(
     def up_step(h, xs):
         lp, sw, sb, skip = xs
         h = jnp.concatenate([h, skip], axis=-1) @ sw + sb
-        h = _encoder_layer(cfg, lp, h, y_mask, bias)
+        h = layer_fn(lp, h, y_mask, bias)
         return h, None
 
     rev_skips = jax.tree.map(lambda a: a[::-1], skips)
@@ -287,6 +295,7 @@ def cfm_loss(
     key: jax.Array,
     t: Optional[jnp.ndarray] = None,
     z: Optional[jnp.ndarray] = None,
+    remat: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """OT-CFM loss on non-context frames (reference voicebox.py:28-49):
     y = (1-(1-σ)t)z + t·x1, target u = x1 - (1-σ)z, cond = x1·mask,
@@ -304,7 +313,7 @@ def cfm_loss(
     cond = x1 * mask
     u = x1 - (1.0 - cfg.sigma_min) * z
 
-    ue = estimator(params, cfg, x_units, y, cond, t, lengths)
+    ue = estimator(params, cfg, x_units, y, cond, t, lengths, remat=remat)
 
     loss_mask = loss_mask * (1.0 - mask)
     diff = (ue - u) * loss_mask
