@@ -44,6 +44,7 @@ def _fwd_kernel(
     k_ref,  # [1, 1, bk, d]
     v_ref,  # [1, 1, bk, d]
     o_ref,  # [1, 1, bq, d]
+    lse_ref,  # [1, 1, bq, 8] f32 (log-sum-exp, lanes replicated)
     m_scratch,  # [bq, LANES] f32
     l_scratch,  # [bq, LANES] f32
     acc_scratch,  # [bq, d] f32
@@ -124,6 +125,8 @@ def _fwd_kernel(
         l = l_scratch[:, :1]
         safe_l = jnp.where(l > 0.0, l, 1.0)
         o_ref[0, 0, :, :] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
+        lse = m_scratch[:, :8] + jnp.log(jnp.maximum(l_scratch[:, :8], 1e-30))
+        lse_ref[0, 0, :, :] = lse
 
 
 def _fwd_call(
@@ -146,7 +149,10 @@ def _fwd_call(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, tq, 8), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
@@ -157,7 +163,10 @@ def _fwd_call(
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -183,11 +192,12 @@ def _bwd_reference(res, g_out, *, scale, causal, window, block_k):
     g = h // hkv
 
     prec = _prec(q.dtype)
-    qf = q.astype(jnp.float32)
+    qf = q.astype(jnp.float32).reshape(b, hkv, g, tq, d)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
-    go = g_out.astype(jnp.float32)
-    delta = jnp.sum(go * o.astype(jnp.float32), axis=-1)  # [B, H, Tq]
+    go = g_out.astype(jnp.float32).reshape(b, hkv, g, tq, d)
+    delta = jnp.sum(go * o.astype(jnp.float32).reshape(b, hkv, g, tq, d), axis=-1)  # [B,Hkv,G,Tq]
+    lse_g = lse.reshape(b, hkv, g, tq)
 
     nk = tk // block_k
 
@@ -198,35 +208,32 @@ def _bwd_reference(res, g_out, *, scale, causal, window, block_k):
         kp = jax.lax.dynamic_slice_in_dim(kpos, ci * block_k, block_k, axis=1)
         ksg = jax.lax.dynamic_slice_in_dim(kseg, ci * block_k, block_k, axis=1)
 
-        # scores for all q against this kv block: [B, H, Tq, bk]
-        ks_h = jnp.repeat(ks, g, axis=1)
-        vs_h = jnp.repeat(vs, g, axis=1)
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, ks_h, preferred_element_type=jnp.float32, precision=prec) * scale
-        mask = (qseg[:, None, :, None] == ksg[:, None, None, :]) & (qseg[:, None, :, None] >= 0)
+        # grouped scores (no KV repetition): [B, Hkv, G, Tq, bk]
+        s = jnp.einsum("bhgqd,bhkd->bhgqk", qf, ks, preferred_element_type=jnp.float32, precision=prec) * scale
+        mask = (qseg[:, None, None, :, None] == ksg[:, None, None, None, :]) & (
+            qseg[:, None, None, :, None] >= 0
+        )
         if causal:
-            mask = mask & (qpos[:, None, :, None] >= kp[:, None, None, :])
+            mask = mask & (qpos[:, None, None, :, None] >= kp[:, None, None, None, :])
         if window is not None:
-            mask = mask & (qpos[:, None, :, None] - kp[:, None, None, :] <= window)
+            mask = mask & (qpos[:, None, None, :, None] - kp[:, None, None, None, :] <= window)
         s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp(s - lse[..., None])
+        p = jnp.exp(s - lse_g[..., None])
         p = jnp.where(mask, p, 0.0)
 
-        dp = jnp.einsum("bhqd,bhkd->bhqk", go, vs_h, preferred_element_type=jnp.float32, precision=prec)
+        dp = jnp.einsum("bhgqd,bhkd->bhgqk", go, vs, preferred_element_type=jnp.float32, precision=prec)
         ds = p * (dp - delta[..., None]) * scale
 
-        dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, ks_h, preferred_element_type=jnp.float32, precision=prec)
-        dk_b = jnp.einsum("bhqk,bhqd->bhkd", ds, qf, preferred_element_type=jnp.float32, precision=prec)
-        dv_b = jnp.einsum("bhqk,bhqd->bhkd", p, go, preferred_element_type=jnp.float32, precision=prec)
-        # fold grouped heads back to kv heads
-        dk_b = dk_b.reshape(b, hkv, g, block_k, d).sum(axis=2)
-        dv_b = dv_b.reshape(b, hkv, g, block_k, d).sum(axis=2)
+        dq = dq + jnp.einsum("bhgqk,bhkd->bhgqd", ds, ks, preferred_element_type=jnp.float32, precision=prec)
+        dk_b = jnp.einsum("bhgqk,bhgqd->bhkd", ds, qf, preferred_element_type=jnp.float32, precision=prec)
+        dv_b = jnp.einsum("bhgqk,bhgqd->bhkd", p, go, preferred_element_type=jnp.float32, precision=prec)
         return dq, (dk_b, dv_b)
 
     dq0 = jnp.zeros_like(qf)
     dq, (dks, dvs) = jax.lax.scan(lambda c, ci: kv_block(ci, c), dq0, jnp.arange(nk))
     dk = jnp.moveaxis(dks, 0, 2).reshape(b, hkv, tk, d)
     dv = jnp.moveaxis(dvs, 0, 2).reshape(b, hkv, tk, d)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return dq.reshape(b, h, tq, d).astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -238,50 +245,14 @@ def _bwd_reference(res, g_out, *, scale, causal, window, block_k):
     jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
 )
 def _flash(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k):
-    return _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k)
+    o, _ = _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k)
+    return o
 
 
 def _flash_fwd(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k):
-    o = _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k)
-    # recompute LSE for backward (cheap: one extra pass of s max/sum would be
-    # needed anyway; we derive it from a dedicated lightweight kernel-free
-    # computation at bwd time instead would double memory; store per-row lse
-    # by recomputation here in blocks)
-    lse = _compute_lse(q, k, qpos, kpos, qseg, kseg, scale, causal, window, block_k)
-    return o, (q, k, v, o, lse, qpos, kpos, qseg, kseg)
-
-
-def _compute_lse(q, k, qpos, kpos, qseg, kseg, scale, causal, window, block_k):
-    b, h, tq, d = q.shape
-    hkv, tk = k.shape[1], k.shape[2]
-    g = h // hkv
-    prec = _prec(q.dtype)
-    qf = q.astype(jnp.float32)
-    nk = tk // block_k
-
-    def body(carry, ci):
-        m, l = carry
-        ks = jax.lax.dynamic_slice_in_dim(k, ci * block_k, block_k, axis=2).astype(jnp.float32)
-        kp = jax.lax.dynamic_slice_in_dim(kpos, ci * block_k, block_k, axis=1)
-        ksg = jax.lax.dynamic_slice_in_dim(kseg, ci * block_k, block_k, axis=1)
-        ks_h = jnp.repeat(ks, g, axis=1)
-        s = jnp.einsum("bhqd,bhkd->bhqk", qf, ks_h, preferred_element_type=jnp.float32, precision=prec) * scale
-        mask = (qseg[:, None, :, None] == ksg[:, None, None, :]) & (qseg[:, None, :, None] >= 0)
-        if causal:
-            mask = mask & (qpos[:, None, :, None] >= kp[:, None, None, :])
-        if window is not None:
-            mask = mask & (qpos[:, None, :, None] - kp[:, None, None, :] <= window)
-        s = jnp.where(mask, s, NEG_INF)
-        m_cur = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m, m_cur)
-        p_sum = jnp.where(mask, jnp.exp(s - m_new[..., None]), 0.0).sum(axis=-1)
-        l_new = l * jnp.exp(m - m_new) + p_sum
-        return (m_new, l_new), None
-
-    m0 = jnp.full((b, h, tq), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, tq), jnp.float32)
-    (m, l), _ = jax.lax.scan(body, (m0, l0), jnp.arange(nk))
-    return m + jnp.log(jnp.maximum(l, 1e-30))
+    o, lse8 = _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k)
+    # the kernel emits LSE (lanes-replicated x8) for free during the fwd pass
+    return o, (q, k, v, o, lse8[..., 0], qpos, kpos, qseg, kseg)
 
 
 def _flash_bwd(scale, causal, window, block_q, block_k, res, g_out):
