@@ -49,6 +49,13 @@ def main(argv=None) -> int:
     p.add_argument("--output_dir", required=True)
     p.add_argument("--model_dir", default=None, help="base Mistral HF dir; random init if omitted")
     p.add_argument("--data_path", required=True)
+    p.add_argument("--eval_data_path", default=None,
+                   help="held-out packed rows; evaluated every --eval_steps")
+    p.add_argument("--eval_steps", type=int, default=1000)
+    p.add_argument("--eval_batches", type=int, default=8)
+    p.add_argument("--tokenizer_dir", default=None,
+                   help="tokenizer saved alongside every checkpoint "
+                        "(reference EvalSaveCallback, utils.py:32-45)")
     p.add_argument("--num_unit_tokens", type=int, default=10000)
     p.add_argument("--train_batch_size", type=int, default=2)
     p.add_argument("--learning_rate", type=float, default=2e-5)
@@ -124,7 +131,43 @@ def main(argv=None) -> int:
             print(f"[warning] no checkpoints under {ckpt_dir}")
 
     step_fn = T.make_train_step(cfg, tc, mesh, opt)
+    eval_fn = T.make_eval_step(cfg, tc, mesh) if args.eval_data_path else None
     logger = MetricsLogger(args.output_dir)
+
+    tokenizer = None
+    if args.tokenizer_dir:
+        from usdm_tpu.core.tokenizer import UsdmTokenizer
+
+        tokenizer = UsdmTokenizer.load(args.tokenizer_dir, num_units=args.num_unit_tokens)
+
+    def save_ckpt(step):
+        ckpt.save_train_state(ckpt_dir, state, step, keep=tc.keep_checkpoints)
+        if tokenizer is not None:
+            # tokenizer per checkpoint (reference EvalSaveCallback.on_save)
+            tokenizer.save(os.path.join(ckpt_dir, f"tokenizer-{step}"))
+
+    last_eval = [-1]
+
+    def run_eval(step):
+        if eval_fn is None or last_eval[0] == step:
+            return
+        last_eval[0] = step
+        rows_it = iter_packed_rows(args.eval_data_path)
+        losses, toks = [], 0
+        for _ in range(args.eval_batches):
+            batch_rows = []
+            try:
+                for _ in range(tc.batch_size):
+                    batch_rows.append(next(rows_it)[: args.max_input_length])
+            except StopIteration:
+                break
+            out = pack_collate(batch_rows, pad_id=pad_id)
+            m = eval_fn(state.params, {k: jnp.asarray(v) for k, v in out.items()})
+            losses.append(float(m["loss"]))
+            toks += int(m["ntokens"])
+        if losses:
+            logger.log(step, {"loss": float(np.mean(losses)), "ntokens": toks}, prefix="eval")
+            print(f"eval @ {step}: loss={np.mean(losses):.4f}")
 
     rows = iter_packed_rows(args.data_path)
     pad_id = cfg.vocab_size - 1
@@ -153,10 +196,13 @@ def main(argv=None) -> int:
                 logger.log(step + 1, metrics)
                 print(f"step {step + 1}: loss={float(metrics['loss']):.4f} "
                       f"gnorm={float(metrics['grad_norm']):.3f}")
+            if (step + 1) % args.eval_steps == 0:
+                run_eval(step + 1)
             if (step + 1) % tc.save_every == 0:
-                ckpt.save_train_state(ckpt_dir, state, step + 1, keep=tc.keep_checkpoints)
+                save_ckpt(step + 1)
 
-    ckpt.save_train_state(ckpt_dir, state, args.max_steps, keep=tc.keep_checkpoints)
+    run_eval(args.max_steps)
+    save_ckpt(args.max_steps)
     logger.close()
     print("done")
     return 0

@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthesize_every", type=int, default=1,
                    help="epochs between audio smoke tests (0 = off)")
+    p.add_argument("--bigvgan_dir", default=None,
+                   help="vocode eval mels into audible smoke tests "
+                        "(reference scripts/train.py:277-302)")
     args = p.parse_args(argv)
 
     import jax
@@ -76,6 +79,13 @@ def main(argv=None) -> int:
     eval_fn = C.make_eval_step(cfg, mesh)
     logger = MetricsLogger(args.output_dir)
 
+    vocoder = None
+    if args.bigvgan_dir:
+        from usdm_tpu.models import bigvgan as BGV
+
+        bv_params, bv_cfg = ckpt.load_bigvgan(args.bigvgan_dir)
+        vocoder = (bv_params, bv_cfg)
+
     dataset = UnitMelDataset(args.train_filelist, mel_cfg, n_tokens=cfg.n_tokens)
     collate = UnitMelCollate(tc, mel_cfg, n_tokens=cfg.n_tokens)
     val = UnitMelDataset(args.valid_filelist, mel_cfg, n_tokens=cfg.n_tokens) if args.valid_filelist else None
@@ -113,6 +123,13 @@ def main(argv=None) -> int:
                 gradient_scale=1.0,
             )
             logger.log(gstep, {"synth_mel_mean": float(out.mean())}, prefix="smoke")
+            if vocoder is not None:
+                bv_params, bv_cfg = vocoder
+                from usdm_tpu.models import bigvgan as BGV
+
+                wav = BGV.generator(bv_params, bv_cfg, out * mel_cfg.mel_std + mel_cfg.mel_mean)
+                logger.log_audio(gstep, "smoke/audio", np.asarray(wav)[0, 0],
+                                 mel_cfg.sampling_rate)
         if (epoch + 1) % args.save_every == 0:
             ckpt.save_train_state(ckpt_dir, state, epoch + 1)
     ckpt.save_train_state(ckpt_dir, state, args.n_epochs if not args.max_steps else gstep)
