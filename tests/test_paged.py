@@ -94,3 +94,25 @@ def test_per_slot_masks(setup, rng):
     eng.run([ra, rb])
     assert all(10 <= t < 30 for t in ra.output_ids)
     assert all(50 <= t < 70 for t in rb.output_ids)
+
+
+def test_multi_step_matches_single_step(setup, rng):
+    """decode_horizon=8 device-side loop must emit exactly what per-token
+    stepping emits."""
+    params = setup
+    reqs_a = [_req(rng, i, n=8 + i, max_new=7) for i in range(3)]
+    reqs_b = [Request(r.req_id, list(r.prompt_ids), r.allow_mask, r.eos_id, r.max_new_tokens)
+              for r in reqs_a]
+    with jax.default_matmul_precision("highest"):
+        eng1 = PagedEngine(params, CFG, ECFG)
+        eng1.decode_horizon = 1
+        for r in reqs_a:
+            eng1.submit(r)
+        while eng1.waiting or eng1.active.any():
+            eng1.step()
+
+        eng8 = PagedEngine(params, CFG, ECFG)
+        eng8.decode_horizon = 8
+        eng8.run(reqs_b)
+    for a, b in zip(reqs_a, reqs_b):
+        assert a.output_ids == b.output_ids, f"req {a.req_id}: {a.output_ids} vs {b.output_ids}"

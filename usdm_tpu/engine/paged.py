@@ -231,6 +231,12 @@ class PagedEngine:
         self.slot_pages: List[List[int]] = [[] for _ in range(b)]
         self.waiting: List[Request] = []
         self.steps = 0
+        # device-side decode horizon: sync with the host every N tokens when
+        # no admissions are pending.  Default 1: async dispatch already hides
+        # host RTT, and XLA schedules the fused multi-token loop ~2x slower
+        # than back-to-back single steps (measured on v5e); raise it only when
+        # the host itself is the bottleneck.
+        self.decode_horizon = 1
 
     # ------------------------------------------------------------ scheduling
     def submit(self, req: Request) -> None:
@@ -316,9 +322,95 @@ class PagedEngine:
                 self._finish(slot)
         return int(self.active.sum())
 
+    def step_multi(self, n_steps: int) -> int:
+        """Admit, then decode up to n_steps tokens fully on device."""
+        self._try_admit()
+        if not self.active.any():
+            return 0
+        toks, n_emitted, self.kv = paged_decode_multi(
+            self.params, self.kv, self.cfg,
+            jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
+            jnp.asarray(self.page_table), jnp.asarray(self.active),
+            jnp.asarray(self.allow), jnp.asarray(self.eos),
+            self.ecfg.page_size, n_steps,
+        )
+        toks = np.asarray(toks)
+        n_emitted = np.asarray(n_emitted)
+        self.steps += n_steps
+        for slot in range(self.ecfg.max_batch_size):
+            if not self.active[slot]:
+                continue
+            n = int(n_emitted[slot])
+            req = self.slot_req[slot]
+            emitted = toks[slot, :n].tolist()
+            req.output_ids.extend(emitted)
+            self.seq_lens[slot] += n
+            if emitted:
+                self.tokens[slot] = emitted[-1]
+            total = int(self.seq_lens[slot]) + 1
+            hit_eos = n > 0 and emitted[-1] == req.eos_id
+            if (
+                hit_eos
+                or len(req.output_ids) >= req.max_new_tokens
+                or total >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
+            ):
+                if len(req.output_ids) > req.max_new_tokens:
+                    del req.output_ids[req.max_new_tokens:]
+                self._finish(slot)
+        return int(self.active.sum())
+
     def run(self, requests: List[Request]) -> List[Request]:
         for r in requests:
             self.submit(r)
         while self.waiting or self.active.any():
-            self.step()
+            if self.waiting:
+                self.step()  # admit aggressively while a queue exists
+            else:
+                self.step_multi(self.decode_horizon)
         return requests
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_steps"), donate_argnums=(1,))
+def paged_decode_multi(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    tokens: jnp.ndarray,  # [B]
+    seq_lens: jnp.ndarray,  # [B]
+    page_table: jnp.ndarray,  # [B, maxp]
+    active: jnp.ndarray,  # [B] bool
+    allow_masks: jnp.ndarray,  # [B, V]
+    eos_ids: jnp.ndarray,  # [B]
+    page_size: int,
+    n_steps: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, PagedKV]:
+    """Run up to `n_steps` decode steps fully on device.
+
+    Cuts the per-token host round-trip of `step()` (over a tunneled TPU that
+    RTT dominates): the scheduler only syncs every `n_steps` tokens.  Rows
+    freeze at their own EOS; returns (tokens [B, n_steps], n_emitted [B], kv).
+    """
+    b = tokens.shape[0]
+
+    def body(i, carry):
+        kv, tok, lens, done, out = carry
+        nxt, kv = paged_decode_step.__wrapped__(
+            params, kv, cfg, tok, lens, page_table,
+            jnp.logical_and(active, ~done), allow_masks, page_size,
+        )
+        nxt = jnp.where(done, 0, nxt)
+        out = out.at[:, i].set(nxt)
+        new_done = jnp.logical_or(done, nxt == eos_ids)
+        lens = jnp.where(done, lens, lens + 1)
+        return kv, nxt, lens, new_done, out
+
+    out0 = jnp.zeros((b, n_steps), jnp.int32)
+    done0 = ~active
+    kv, _, lens, done, out = jax.lax.fori_loop(
+        0, n_steps, body, (kv, tokens, seq_lens, done0, out0)
+    )
+    is_eos = out == eos_ids[:, None]
+    any_eos = jnp.any(is_eos, axis=1)
+    eos_pos = jnp.argmax(is_eos, axis=1)
+    n_emitted = jnp.where(active, jnp.where(any_eos, eos_pos + 1, n_steps), 0)
+    return out, n_emitted, kv
