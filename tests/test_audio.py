@@ -88,3 +88,16 @@ def test_unit_string_roundtrip():
     s = units_to_string(units)
     assert parse_units(s) == units
     assert parse_units("junk<|unit5|>mid<|unit6|>") == [5, 6]
+
+
+def test_dedup_units_roundtrip():
+    from usdm_tpu.audio.units import dedup_units
+
+    units = [3, 3, 3, 7, 7, 1, 3, 3]
+    u, d = dedup_units(units)
+    assert u == [3, 7, 1, 3]
+    assert d == [3, 2, 1, 2]
+    # roundtrip via repetition
+    rebuilt = [x for uu, dd in zip(u, d) for x in [uu] * dd]
+    assert rebuilt == units
+    assert dedup_units([]) == ([], [])

@@ -1,0 +1,62 @@
+"""CLI-surface regression tests (tiny pipeline, CPU)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from usdm_tpu.audio.wav import write_wav
+
+
+@pytest.fixture(scope="module")
+def user_wav(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    path = str(tmp_path_factory.mktemp("cli") / "user.wav")
+    write_wav(path, (rng.standard_normal(16000) * 0.1).astype(np.float32), 16000)
+    return path
+
+
+def test_infer_cli_demo(user_wav, tmp_path, capsys):
+    from usdm_tpu.cli.infer import main
+
+    out = str(tmp_path / "out.wav")
+    rc = main(["--demo", "--input_path", user_wav, "--output_path", out,
+               "--n_timesteps", "2"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "agent_text:" in captured and "agent_units:" in captured
+
+
+def test_serve_http_roundtrip(user_wav):
+    from http.server import ThreadingHTTPServer
+
+    from usdm_tpu.cli.serve import make_handler
+    from usdm_tpu.pipeline import UsdmPipeline
+
+    pipe = UsdmPipeline.tiny_random()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipe, n_timesteps=2))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=30) as r:
+            assert r.read() == b"ok"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30) as r:
+            assert b"usdm-tpu" in r.read()
+        body = open(user_wav, "rb").read()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/respond", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = json.loads(r.read())
+        assert "agent_text" in payload and "n_units" in payload
+        # garbage body -> clean JSON error, not a crash
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/respond", data=b"garbage", method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                payload = json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            payload = json.loads(e.read())
+        assert "error" in payload
+    finally:
+        server.shutdown()

@@ -87,3 +87,24 @@ def expand_durations_and_pool(
     rows = expanded[:new_length].reshape(-1, hop)
     pooled = np.asarray(rowwise_mode(jnp.asarray(rows)))
     return pooled, new_length
+
+
+def dedup_units(units: Sequence[int]) -> Tuple[List[int], List[int]]:
+    """Run-length encode a unit stream -> (unique-run units, durations).
+
+    The reference pipeline does NOT dedup (durations are all 1,
+    decoder/scripts/preprocess.py:40); this optional utility produces the
+    (units, durations) form for duration-aware decoder training data and for
+    compact unit transport.  `expand_durations_and_pool` inverts it."""
+    units = [int(u) for u in units]
+    if not units:
+        return [], []
+    out_u = [units[0]]
+    out_d = [1]
+    for u in units[1:]:
+        if u == out_u[-1]:
+            out_d[-1] += 1
+        else:
+            out_u.append(u)
+            out_d.append(1)
+    return out_u, out_d

@@ -310,9 +310,6 @@ class CfmTrainConfig(_Base):
 
 @dataclass(frozen=True)
 class EngineConfig(_Base):
-    max_seq_len: int = 8192
-    page_size: int = 128          # tokens per KV page
-    max_pages_per_seq: int = 64
+    page_size: int = 256          # tokens per KV page (bench-tuned on v5e)
+    max_pages_per_seq: int = 32   # per-sequence budget (page_size * this)
     max_batch_size: int = 8
-    prefill_chunk: int = 512      # prefill bucketing granularity
-    hbm_utilization: float = 0.85
