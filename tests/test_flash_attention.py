@@ -105,3 +105,29 @@ def test_grad_matches_xla(rng):
         gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
+
+
+def test_pallas_bwd_matches_reference_bwd(rng):
+    """The Pallas backward kernels must match the XLA chunked backward on a
+    packed, GQA, sliding-window case."""
+    t, block = 256, 64
+    q, k, v = _rand_inputs(rng, b=2, tq=t, tk=t, h=4, hkv=2, d=32)
+    seg_np = np.zeros((2, t), np.int32)
+    seg_np[:, t // 2 :] = 1
+    seg_np[:, -16:] = -1  # pad tail
+    pos_np = np.concatenate([np.arange(t // 2), np.arange(t - t // 2)])[None].repeat(2, 0)
+    seg, pos = jnp.asarray(seg_np), jnp.asarray(pos_np)
+
+    qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    o, lse8 = FA._fwd_call(qt, kt, vt, pos, pos, seg, seg, 32**-0.5, True, 40, block, block)
+    res = (qt, kt, vt, o, lse8[..., 0], pos, pos, seg, seg)
+    go = jnp.asarray(rng.standard_normal(o.shape).astype(np.float32))
+
+    with jax.default_matmul_precision("highest"):
+        dq_p, dk_p, dv_p = FA._bwd_pallas(res, go, scale=32**-0.5, causal=True,
+                                          window=40, block_q=block, block_k=block)
+        dq_r, dk_r, dv_r = FA._bwd_reference(res, go, scale=32**-0.5, causal=True,
+                                             window=40, block_k=block)
+    np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_r), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_r), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_r), rtol=2e-4, atol=2e-4)

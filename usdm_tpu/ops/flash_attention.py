@@ -236,6 +236,252 @@ def _bwd_reference(res, g_out, *, scale, causal, window, block_k):
     return dq.reshape(b, h, tq, d).astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels (dq and dk/dv; same blocking as the forward)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    qpos_ref, kpos_ref, qseg_ref, kseg_ref,
+    q_ref,  # [1, 1, bq, d]
+    k_ref,  # [1, 1, bk, d]
+    v_ref,  # [1, 1, bk, d]
+    do_ref,  # [1, 1, bq, d]
+    lse_ref,  # [1, 1, bq, 8]
+    delta_ref,  # [1, 1, bq, 8]
+    dq_ref,  # [1, 1, bq, d]
+    acc_scratch,  # [bq, d] f32
+    *,
+    scale: float,
+    causal: bool,
+    window: Optional[int],
+    block_q: int,
+    block_k: int,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q_start = qi * block_q
+    q_end = q_start + block_q - 1
+    k_start = ki * block_k
+    k_end = k_start + block_k - 1
+    should_run = jnp.bool_(True)
+    if causal:
+        should_run = jnp.logical_and(should_run, k_start <= q_end)
+    if window is not None:
+        should_run = jnp.logical_and(should_run, q_start - k_end <= window)
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, :, :1]  # [bq, 1]
+        delta = delta_ref[0, 0, :, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(q.dtype),
+        ) * scale  # [bq, bk]
+
+        qp = qpos_ref[0][:, None]
+        kp = kpos_ref[0][None, :]
+        qs = qseg_ref[0][:, None]
+        ks = kseg_ref[0][None, :]
+        mask = jnp.logical_and(qs == ks, qs >= 0)
+        if causal:
+            mask = jnp.logical_and(mask, qp >= kp)
+        if window is not None:
+            mask = jnp.logical_and(mask, qp - kp <= window)
+
+        pexp = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, bk]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(v.dtype),
+        )
+        ds = pexp * (dp - delta) * scale  # [bq, bk] f32
+        acc_scratch[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(k.dtype),
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0, :, :] = acc_scratch[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    qpos_ref, kpos_ref, qseg_ref, kseg_ref,
+    q_ref,  # [1, 1, bq, d]   (head hkv*G + g, via index map)
+    k_ref,  # [1, 1, bk, d]
+    v_ref,  # [1, 1, bk, d]
+    do_ref,  # [1, 1, bq, d]
+    lse_ref,  # [1, 1, bq, 8]
+    delta_ref,  # [1, 1, bq, 8]
+    dk_ref,  # [1, 1, bk, d]
+    dv_ref,  # [1, 1, bk, d]
+    dk_scratch,  # [bk, d] f32
+    dv_scratch,  # [bk, d] f32
+    *,
+    scale: float,
+    causal: bool,
+    window: Optional[int],
+    block_q: int,
+    block_k: int,
+    group: int,
+):
+    ki = pl.program_id(2)
+    gi = pl.program_id(3)
+    qi = pl.program_id(4)
+    nq = pl.num_programs(4)
+
+    @pl.when(jnp.logical_and(gi == 0, qi == 0))
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    q_start = qi * block_q
+    q_end = q_start + block_q - 1
+    k_start = ki * block_k
+    k_end = k_start + block_k - 1
+    should_run = jnp.bool_(True)
+    if causal:
+        should_run = jnp.logical_and(should_run, k_start <= q_end)
+    if window is not None:
+        should_run = jnp.logical_and(should_run, q_start - k_end <= window)
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, :, :1]
+        delta = delta_ref[0, 0, :, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(q.dtype),
+        ) * scale  # [bq, bk]
+
+        qp = qpos_ref[0][:, None]
+        kp = kpos_ref[0][None, :]
+        qs = qseg_ref[0][:, None]
+        ks = kseg_ref[0][None, :]
+        mask = jnp.logical_and(qs == ks, qs >= 0)
+        if causal:
+            mask = jnp.logical_and(mask, qp >= kp)
+        if window is not None:
+            mask = jnp.logical_and(mask, qp - kp <= window)
+
+        pexp = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, bk]
+        # dv += P^T @ dO
+        dv_scratch[...] += jax.lax.dot_general(
+            pexp.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(do.dtype),
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(v.dtype),
+        )
+        ds = pexp * (dp - delta) * scale
+        # dk += dS^T @ Q
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(q.dtype),
+        )
+
+    @pl.when(jnp.logical_and(gi == pl.num_programs(3) - 1, qi == nq - 1))
+    def _finalize():
+        dk_ref[0, 0, :, :] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
+    """Pallas backward: dq over a (B,H,nq,nk) grid, dk/dv over a
+    (B,Hkv,nk,G,nq) grid with scratch accumulation across the GQA group."""
+    q, k, v, o, lse, qpos, kpos, qseg, kseg = res
+    b, h, tq, d = q.shape
+    hkv, tk = k.shape[1], k.shape[2]
+    g = h // hkv
+    block_q = min(block_q, tq)
+    block_k = min(block_k, tk)
+    nq = tq // block_q
+    nk = tk // block_k
+
+    do = g_out
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta8 = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
+    lse8 = jnp.broadcast_to(lse[..., None], (*lse.shape, 8))
+
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, causal=causal, window=window,
+        block_q=block_q, block_k=block_k,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+        grid=(b, h, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(qpos, kpos, qseg, kseg, q, k, v, do, lse8, delta8)
+
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, causal=causal, window=window,
+        block_q=block_q, block_k=block_k, group=g,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hkv, tk, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hkv, tk, d), v.dtype),
+        ),
+        grid=(b, hkv, nk, g, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q), lambda bi, hi, ki, gi, qi: (bi, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, ki, gi, qi: (bi, ki)),
+            pl.BlockSpec((1, block_q), lambda bi, hi, ki, gi, qi: (bi, qi)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, ki, gi, qi: (bi, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, qi, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(qpos, kpos, qseg, kseg, q, k, v, do, lse8, delta8)
+
+    return dq, dk, dv
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -256,7 +502,14 @@ def _flash_fwd(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, 
 
 
 def _flash_bwd(scale, causal, window, block_q, block_k, res, g_out):
-    dq, dk, dv = _bwd_reference(res, g_out, scale=scale, causal=causal, window=window, block_k=block_k)
+    q = res[0]
+    tq, tk = q.shape[2], res[1].shape[2]
+    if tq % min(block_q, tq) == 0 and tk % min(block_k, tk) == 0:
+        dq, dk, dv = _bwd_pallas(res, g_out, scale=scale, causal=causal,
+                                 window=window, block_q=block_q, block_k=block_k)
+    else:
+        dq, dk, dv = _bwd_reference(res, g_out, scale=scale, causal=causal,
+                                    window=window, block_k=block_k)
     return dq, dk, dv, None, None, None, None
 
 
