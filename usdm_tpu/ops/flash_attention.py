@@ -147,6 +147,16 @@ def _fwd_call(
         _fwd_kernel, scale=scale, causal=causal, window=window,
         block_q=block_q, block_k=block_k,
     )
+
+    def clamp_k(qi, ki):
+        # blocks outside the causal/window band repeat an in-range index;
+        # Pallas skips the DMA when a block index repeats (compute is skipped
+        # by the kernel's own should_run).  Valid for packed causal layouts
+        # where in-segment position deltas equal flat-index deltas.
+        last = (qi * block_q + block_q - 1) // block_k if causal else nk - 1
+        first = jnp.maximum(qi * block_q - window, 0) // block_k if window is not None else 0
+        return jnp.clip(ki, first, last)
+
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -156,12 +166,12 @@ def _fwd_call(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki))),
             pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki))),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, clamp_k(qi, ki), 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, clamp_k(qi, ki), 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -426,18 +436,23 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
         _bwd_dq_kernel, scale=scale, causal=causal, window=window,
         block_q=block_q, block_k=block_k,
     )
+    def clamp_k(qi, ki):
+        last = (qi * block_q + block_q - 1) // block_k if causal else nk - 1
+        first = jnp.maximum(qi * block_q - window, 0) // block_k if window is not None else 0
+        return jnp.clip(ki, first, last)
+
     dq = pl.pallas_call(
         dq_kernel,
         out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
         grid=(b, h, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki))),
             pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, ki)),
+            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki))),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, clamp_k(qi, ki), 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, clamp_k(qi, ki), 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -450,6 +465,14 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
         _bwd_dkv_kernel, scale=scale, causal=causal, window=window,
         block_q=block_q, block_k=block_k, group=g,
     )
+    def clamp_q(ki, qi):
+        first = (ki * block_k) // block_q if causal else 0
+        if window is not None:
+            last_q = jnp.minimum((ki * block_k + block_k - 1 + window) // block_q, nq - 1)
+        else:
+            last_q = nq - 1
+        return jnp.clip(qi, first, last_q)
+
     dk, dv = pl.pallas_call(
         dkv_kernel,
         out_shape=(
@@ -458,16 +481,16 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
         ),
         grid=(b, hkv, nk, g, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, hi, ki, gi, qi: (bi, qi)),
+            pl.BlockSpec((1, block_q), lambda bi, hi, ki, gi, qi: (bi, clamp_q(ki, qi))),
             pl.BlockSpec((1, block_k), lambda bi, hi, ki, gi, qi: (bi, ki)),
-            pl.BlockSpec((1, block_q), lambda bi, hi, ki, gi, qi: (bi, qi)),
+            pl.BlockSpec((1, block_q), lambda bi, hi, ki, gi, qi: (bi, clamp_q(ki, qi))),
             pl.BlockSpec((1, block_k), lambda bi, hi, ki, gi, qi: (bi, ki)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, clamp_q(ki, qi), 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, clamp_q(ki, qi), 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, clamp_q(ki, qi), 0)),
+            pl.BlockSpec((1, 1, block_q, 8), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, clamp_q(ki, qi), 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
