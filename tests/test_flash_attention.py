@@ -119,15 +119,64 @@ def test_pallas_bwd_matches_reference_bwd(rng):
     seg, pos = jnp.asarray(seg_np), jnp.asarray(pos_np)
 
     qt, kt, vt = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
-    o, lse8 = FA._fwd_call(qt, kt, vt, pos, pos, seg, seg, 32**-0.5, True, 40, block, block)
+    o, lse8 = FA._fwd_call(qt, kt, vt, pos, pos, seg, seg,
+                           32**-0.5, True, 40, False, block, block)
     res = (qt, kt, vt, o, lse8[..., 0], pos, pos, seg, seg)
     go = jnp.asarray(rng.standard_normal(o.shape).astype(np.float32))
 
     with jax.default_matmul_precision("highest"):
         dq_p, dk_p, dv_p = FA._bwd_pallas(res, go, scale=32**-0.5, causal=True,
-                                          window=40, block_q=block, block_k=block)
+                                          window=40, alibi=False, block_q=block, block_k=block)
         dq_r, dk_r, dv_r = FA._bwd_reference(res, go, scale=32**-0.5, causal=True,
-                                             window=40, block_k=block)
+                                             window=40, alibi=False, block_k=block)
     np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_r), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_r), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_r), rtol=2e-4, atol=2e-4)
+
+
+def test_alibi_flash_matches_voicebox_attention(rng):
+    """flash(alibi_slopes) must reproduce the Voicebox XLA attention (masked
+    symmetric ALiBi, col-0 exempt), fwd and grad."""
+    from usdm_tpu.models.voicebox import alibi_slopes as vb_slopes
+
+    b, t, h, d = 2, 192, 4, 32
+    hdim = h * d
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    lengths = np.array([t, t - 50])
+    seg = np.zeros((b, t), np.int32)
+    for i, n in enumerate(lengths):
+        seg[i, n:] = -1
+    seg = jnp.asarray(seg)
+    pos = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+    slopes = vb_slopes(h)
+
+    def flash_fn(q, k, v):
+        return FA.flash_attention(q, k, v, seg, seg, pos, pos, causal=False,
+                                  sliding_window=None, scale=1.0,
+                                  block_q=64, block_k=64, alibi=True)
+
+    def ref_fn(q, k, v):
+        # voicebox-style reference: bias = -slope*|i-j| (col0=0) + pad -inf
+        dist = np.abs(np.arange(t)[None, :] - np.arange(t)[:, None]).astype(np.float32)
+        bias = -slopes[:, None, None] * dist[None]
+        bias[:, :, 0] = 0.0
+        valid = np.asarray(seg) >= 0
+        pad = np.where(valid[:, None, None, :], 0.0, -1e30)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            precision=jax.lax.Precision.HIGHEST) + jnp.asarray(bias)[None] + pad
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=jax.lax.Precision.HIGHEST)
+        # zero pad rows like the kernel does
+        return jnp.where(jnp.asarray(valid)[:, :, None, None], out, 0.0)
+
+    with jax.default_matmul_precision("highest"):
+        of = flash_fn(q, k, v)
+        orf = ref_fn(q, k, v)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(orf), rtol=3e-5, atol=3e-5)
+
+        gf = jax.grad(lambda *a: jnp.sum(flash_fn(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)

@@ -153,11 +153,32 @@ def _attention(lp, x, bias, n_heads):
     return out.reshape(b, t, hdim) @ lp["wo"] + lp["bo"]
 
 
-def _encoder_layer(cfg, lp, x, y_mask, bias):
+def _attention_flash(lp, x, seg, pos, n_heads, fwd_only):
+    """Flash-kernel attention path: ALiBi/pad masking computed in-kernel from
+    positions + per-head slopes — no [B, H, T, T] bias materialization."""
+    from usdm_tpu.ops.flash_attention import flash_attention
+
+    b, t, hdim = x.shape
+    d = hdim // n_heads
+    q = (x @ lp["wq"] + lp["bq"]).reshape(b, t, n_heads, d)
+    k = (x @ lp["wk"] + lp["bk"]).reshape(b, t, n_heads, d)
+    v = (x @ lp["wv"] + lp["bv"]).reshape(b, t, n_heads, d)
+    out = flash_attention(
+        q, k, v, seg, seg, pos, pos, causal=False, sliding_window=None,
+        scale=d**-0.5, alibi=True, fwd_only=fwd_only,
+    )
+    return out.reshape(b, t, hdim) @ lp["wo"] + lp["bo"]
+
+
+def _encoder_layer(cfg, lp, x, y_mask, bias, flash_ctx=None, fwd_only=False):
     """Post-LN block (networks.py:250-266): residual attn -> mask -> LN ->
     +FFN -> mask -> final LN -> mask."""
     x = x * y_mask
-    h = x + _attention(lp, x, bias, cfg.num_heads)
+    if flash_ctx is not None:
+        seg, pos = flash_ctx
+        h = x + _attention_flash(lp, x, seg, pos, cfg.num_heads, fwd_only)
+    else:
+        h = x + _attention(lp, x, bias, cfg.num_heads)
     h = h * y_mask
     h = _layer_norm(h, lp["ln1_w"], lp["ln1_b"])
     ff = _gelu(h @ lp["ffn_w1"] + lp["ffn_b1"]) @ lp["ffn_w2"] + lp["ffn_b2"]
@@ -191,6 +212,8 @@ def estimator(
     lengths: jnp.ndarray,  # [B] valid frames
     remat: bool = False,  # checkpoint each layer (training at 16 s crops
     # needs it: the scan otherwise saves [L/2, B, H, T, T] attention probs)
+    attn_impl: str = "auto",  # auto | flash | xla
+    fwd_only: bool = False,  # inference: flash without the custom_vjp wrapper
 ) -> jnp.ndarray:
     """Vector-field estimate u(x, y, cond, t) -> [B, n_feats, T]."""
     b, T = x_units.shape
@@ -221,19 +244,29 @@ def estimator(
     # zero padded frames before the conv position embedding (networks.py:332-333)
     h = h * y_mask
 
-    # symmetric ALiBi, column 0 zeroed (networks.py:319-325); pad columns get
-    # a large negative additive bias (networks.py:337-341)
-    slopes = -alibi_slopes(cfg.num_heads)
-    dist = np.abs(np.arange(T1)[None, :] - np.arange(T1)[:, None]).astype(np.float32)
-    alibi = jnp.asarray(slopes)[:, None, None] * jnp.asarray(dist)[None]  # [Hh, T1, T1]
-    alibi = alibi.at[:, :, 0].set(0.0)
-    # reference multiplies alibi by the pad mask before adding (alibi -> 0 at pads)
-    alibi_bias = alibi[None] * y_mask[:, None, :, 0][:, :, None, :]  # [B, Hh, T1, T1]
-    pad_bias = jnp.where(valid[:, None, None, :], 0.0, jnp.finfo(h.dtype).min)
-
-    # NOTE: reference precomputes [B,Hh,T1,T1] identically for all layers; we
-    # fold alibi_bias+pad_bias once here.
-    bias = alibi_bias + pad_bias
+    # symmetric ALiBi, column 0 zeroed (networks.py:319-325), pad columns
+    # masked.  On TPU the bias is computed inside the flash kernel from
+    # positions + per-head slopes; the XLA path materializes it
+    # ([B, Hh, T1, T1]) as the reference does (networks.py:337-341).
+    pow2_heads = cfg.num_heads & (cfg.num_heads - 1) == 0
+    if attn_impl == "auto":
+        use_flash = jax.devices()[0].platform == "tpu" and T1 >= 128 and pow2_heads
+    else:
+        use_flash = attn_impl == "flash"
+    flash_ctx = None
+    bias = None
+    if use_flash:
+        seg = jnp.where(valid, 0, -1).astype(jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(T1)[None], (b, T1))
+        flash_ctx = (seg, pos)
+    else:
+        slopes = -alibi_slopes(cfg.num_heads)
+        dist = np.abs(np.arange(T1)[None, :] - np.arange(T1)[:, None]).astype(np.float32)
+        alibi = jnp.asarray(slopes)[:, None, None] * jnp.asarray(dist)[None]  # [Hh, T1, T1]
+        alibi = alibi.at[:, :, 0].set(0.0)
+        alibi_bias = alibi[None] * y_mask[:, None, :, 0][:, :, None, :]  # [B, Hh, T1, T1]
+        pad_bias = jnp.where(valid[:, None, None, :], 0.0, jnp.finfo(h.dtype).min)
+        bias = alibi_bias + pad_bias
 
     pos_res = h
     for i in range(cfg.convpos_depth):
@@ -252,7 +285,7 @@ def estimator(
 
     from functools import partial as _partial
 
-    layer_fn = _partial(_encoder_layer, cfg)
+    layer_fn = _partial(_encoder_layer, cfg, fwd_only=fwd_only)
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
@@ -260,7 +293,7 @@ def estimator(
     # [h_pre, out_0, ..., out_{half-2}] exactly as the reference builds it
     # (networks.py:352-360); popping LIFO == consuming in reverse order.
     def down_step(h, lp):
-        new_h = layer_fn(lp, h, y_mask, bias)
+        new_h = layer_fn(lp, h, y_mask, bias, flash_ctx)
         return new_h, h
 
     h, skips = jax.lax.scan(down_step, h, lp_down)
@@ -268,7 +301,7 @@ def estimator(
     def up_step(h, xs):
         lp, sw, sb, skip = xs
         h = jnp.concatenate([h, skip], axis=-1) @ sw + sb
-        h = layer_fn(lp, h, y_mask, bias)
+        h = layer_fn(lp, h, y_mask, bias, flash_ctx)
         return h, None
 
     rev_skips = jax.tree.map(lambda a: a[::-1], skips)
@@ -326,14 +359,14 @@ def _cfg_estimate(params, cfg, x, z, cond, lengths, t, gradient_scale):
     """CFG by batch doubling (voicebox.py:60-71): row block 0 = unconditional
     (null units, zero cond), block 1 = conditional; combine (1+s)c - s·u."""
     if gradient_scale <= 0:
-        return estimator(params, cfg, x, z, cond, t, lengths)
+        return estimator(params, cfg, x, z, cond, t, lengths, fwd_only=True)
     b = x.shape[0]
     x2 = jnp.concatenate([jnp.full_like(x, cfg.n_tokens), x], axis=0)
     z2 = jnp.concatenate([z, z], axis=0)
     c2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
     l2 = jnp.concatenate([lengths, lengths], axis=0)
-    d = estimator(params, cfg, x2, z2, c2, t2, l2)
+    d = estimator(params, cfg, x2, z2, c2, t2, l2, fwd_only=True)
     d_un, d_cond = d[:b], d[b:]
     return d_cond + gradient_scale * (d_cond - d_un)
 

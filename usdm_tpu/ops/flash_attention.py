@@ -38,8 +38,21 @@ def _prec(dtype) -> jax.lax.Precision:
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
 
+def _alibi_slope_for_head(head_idx, n_heads: int):
+    """Per-head ALiBi slope computed in-kernel: 2^{-(h+1)*8/H} — the
+    power-of-2 closed form of the xformers slope table (networks.py:99-115)."""
+    return jnp.exp2(-(head_idx.astype(jnp.float32) + 1.0) * (8.0 / n_heads))
+
+
+def _alibi_term(slope, qp, kp):
+    """Voicebox ALiBi (networks.py:319-325): -slope * |i - j|, with key
+    position 0 (the time pseudo-token) exempt."""
+    dist = jnp.abs(qp - kp).astype(jnp.float32)
+    return -slope * dist * (kp != 0).astype(jnp.float32)
+
+
 def _fwd_kernel(
-    qpos_ref, kpos_ref, qseg_ref, kseg_ref,  # [1, bq] / [1, bk] int32
+    qpos_ref, kpos_ref, qseg_ref, kseg_ref,  # [1, 1, bq] / [1, 1, bk] int32
     q_ref,  # [1, 1, bq, d]
     k_ref,  # [1, 1, bk, d]
     v_ref,  # [1, 1, bk, d]
@@ -52,6 +65,8 @@ def _fwd_kernel(
     scale: float,
     causal: bool,
     window: Optional[int],
+    alibi: bool,
+    n_heads: int,
     block_q: int,
     block_k: int,
 ):
@@ -77,6 +92,8 @@ def _fwd_kernel(
         should_run = jnp.logical_and(should_run, k_start <= q_end)
     if window is not None:
         should_run = jnp.logical_and(should_run, q_start - k_end <= window)
+    # program_id must be read outside @pl.when bodies (interpret-mode rule)
+    slope = _alibi_slope_for_head(pl.program_id(1), n_heads) if alibi else None
 
     @pl.when(should_run)
     def _compute():
@@ -88,15 +105,17 @@ def _fwd_kernel(
             precision=_prec(q.dtype),
         ) * scale  # [bq, bk]
 
-        qp = qpos_ref[0][:, None]
-        kp = kpos_ref[0][None, :]
-        qs = qseg_ref[0][:, None]
-        ks = kseg_ref[0][None, :]
+        qp = qpos_ref[0, 0][:, None]
+        kp = kpos_ref[0, 0][None, :]
+        qs = qseg_ref[0, 0][:, None]
+        ks = kseg_ref[0, 0][None, :]
         mask = jnp.logical_and(qs == ks, qs >= 0)
         if causal:
             mask = jnp.logical_and(mask, qp >= kp)
         if window is not None:
             mask = jnp.logical_and(mask, qp - kp <= window)
+        if alibi:
+            s = s + _alibi_term(slope, qp, kp)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
@@ -131,7 +150,7 @@ def _fwd_kernel(
 
 def _fwd_call(
     q, k, v, q_positions, kv_positions, q_segment_ids, kv_segment_ids,
-    scale, causal, window, block_q, block_k,
+    scale, causal, window, alibi, block_q, block_k,
 ):
     """q: [B, H, Tq, d]; k/v: [B, Hkv, Tk, d]. Returns o: [B, H, Tq, d]."""
     b, h, tq, d = q.shape
@@ -144,8 +163,8 @@ def _fwd_call(
 
     grid = (b, h, nq, nk)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, window=window,
-        block_q=block_q, block_k=block_k,
+        _fwd_kernel, scale=scale, causal=causal, window=window, alibi=alibi,
+        n_heads=h, block_q=block_q, block_k=block_k,
     )
 
     def clamp_k(qi, ki):
@@ -165,10 +184,10 @@ def _fwd_call(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki))),
-            pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki))),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, clamp_k(qi, ki))),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, clamp_k(qi, ki))),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, clamp_k(qi, ki), 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, clamp_k(qi, ki), 0)),
@@ -182,7 +201,7 @@ def _fwd_call(
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-    )(q_positions, kv_positions, q_segment_ids, kv_segment_ids, q, k, v)
+    )(q_positions[:, None], kv_positions[:, None], q_segment_ids[:, None], kv_segment_ids[:, None], q, k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +209,7 @@ def _fwd_call(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_reference(res, g_out, *, scale, causal, window, block_k):
+def _bwd_reference(res, g_out, *, scale, causal, window, alibi, block_k):
     """Chunked recompute backward: O(T * block) memory, pure XLA.
 
     Recomputes probabilities blockwise (standard flash backward identity:
@@ -200,6 +219,9 @@ def _bwd_reference(res, g_out, *, scale, causal, window, block_k):
     b, h, tq, d = q.shape
     hkv, tk = k.shape[1], k.shape[2]
     g = h // hkv
+    if alibi:
+        head_ids = jnp.arange(h, dtype=jnp.float32)
+        slopes_h = jnp.exp2(-(head_ids + 1.0) * (8.0 / h))
 
     prec = _prec(q.dtype)
     qf = q.astype(jnp.float32).reshape(b, hkv, g, tq, d)
@@ -220,6 +242,12 @@ def _bwd_reference(res, g_out, *, scale, causal, window, block_k):
 
         # grouped scores (no KV repetition): [B, Hkv, G, Tq, bk]
         s = jnp.einsum("bhgqd,bhkd->bhgqk", qf, ks, preferred_element_type=jnp.float32, precision=prec) * scale
+        if alibi:
+            slope_g = slopes_h.reshape(hkv, g)
+            # [B, Tq] x [B, bk] -> [B, Tq, bk]
+            dist = jnp.abs(qpos[:, :, None] - kp[:, None, :]).astype(jnp.float32)
+            zero_col = (kp != 0).astype(jnp.float32)[:, None, :]
+            s = s - slope_g[None, :, :, None, None] * (dist * zero_col)[:, None, None, :, :]
         mask = (qseg[:, None, None, :, None] == ksg[:, None, None, None, :]) & (
             qseg[:, None, None, :, None] >= 0
         )
@@ -267,6 +295,8 @@ def _bwd_dq_kernel(
     scale: float,
     causal: bool,
     window: Optional[int],
+    alibi: bool,
+    n_heads: int,
     block_q: int,
     block_k: int,
 ):
@@ -287,6 +317,7 @@ def _bwd_dq_kernel(
         should_run = jnp.logical_and(should_run, k_start <= q_end)
     if window is not None:
         should_run = jnp.logical_and(should_run, q_start - k_end <= window)
+    slope = _alibi_slope_for_head(pl.program_id(1), n_heads) if alibi else None
 
     @pl.when(should_run)
     def _compute():
@@ -302,15 +333,17 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32, precision=_prec(q.dtype),
         ) * scale  # [bq, bk]
 
-        qp = qpos_ref[0][:, None]
-        kp = kpos_ref[0][None, :]
-        qs = qseg_ref[0][:, None]
-        ks = kseg_ref[0][None, :]
+        qp = qpos_ref[0, 0][:, None]
+        kp = kpos_ref[0, 0][None, :]
+        qs = qseg_ref[0, 0][:, None]
+        ks = kseg_ref[0, 0][None, :]
         mask = jnp.logical_and(qs == ks, qs >= 0)
         if causal:
             mask = jnp.logical_and(mask, qp >= kp)
         if window is not None:
             mask = jnp.logical_and(mask, qp - kp <= window)
+        if alibi:
+            s = s + _alibi_term(slope, qp, kp)
 
         pexp = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, bk]
         dp = jax.lax.dot_general(
@@ -344,6 +377,8 @@ def _bwd_dkv_kernel(
     scale: float,
     causal: bool,
     window: Optional[int],
+    alibi: bool,
+    n_heads: int,
     block_q: int,
     block_k: int,
     group: int,
@@ -367,6 +402,11 @@ def _bwd_dkv_kernel(
         should_run = jnp.logical_and(should_run, k_start <= q_end)
     if window is not None:
         should_run = jnp.logical_and(should_run, q_start - k_end <= window)
+    if alibi:
+        head = pl.program_id(1) * group + pl.program_id(3)
+        slope = _alibi_slope_for_head(head, n_heads)
+    else:
+        slope = None
 
     @pl.when(should_run)
     def _compute():
@@ -382,15 +422,17 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32, precision=_prec(q.dtype),
         ) * scale  # [bq, bk]
 
-        qp = qpos_ref[0][:, None]
-        kp = kpos_ref[0][None, :]
-        qs = qseg_ref[0][:, None]
-        ks = kseg_ref[0][None, :]
+        qp = qpos_ref[0, 0][:, None]
+        kp = kpos_ref[0, 0][None, :]
+        qs = qseg_ref[0, 0][:, None]
+        ks = kseg_ref[0, 0][None, :]
         mask = jnp.logical_and(qs == ks, qs >= 0)
         if causal:
             mask = jnp.logical_and(mask, qp >= kp)
         if window is not None:
             mask = jnp.logical_and(mask, qp - kp <= window)
+        if alibi:
+            s = s + _alibi_term(slope, qp, kp)
 
         pexp = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, bk]
         # dv += P^T @ dO
@@ -415,7 +457,7 @@ def _bwd_dkv_kernel(
         dv_ref[0, 0, :, :] = dv_scratch[...].astype(dv_ref.dtype)
 
 
-def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
+def _bwd_pallas(res, g_out, *, scale, causal, window, alibi, block_q, block_k):
     """Pallas backward: dq over a (B,H,nq,nk) grid, dk/dv over a
     (B,Hkv,nk,G,nq) grid with scratch accumulation across the GQA group."""
     q, k, v, o, lse, qpos, kpos, qseg, kseg = res
@@ -433,8 +475,8 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
     lse8 = jnp.broadcast_to(lse[..., None], (*lse.shape, 8))
 
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, scale=scale, causal=causal, window=window,
-        block_q=block_q, block_k=block_k,
+        _bwd_dq_kernel, scale=scale, causal=causal, window=window, alibi=alibi,
+        n_heads=h, block_q=block_q, block_k=block_k,
     )
     def clamp_k(qi, ki):
         last = (qi * block_q + block_q - 1) // block_k if causal else nk - 1
@@ -446,10 +488,10 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
         out_shape=jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
         grid=(b, h, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki))),
-            pl.BlockSpec((1, block_q), lambda bi, hi, qi, ki: (bi, qi)),
-            pl.BlockSpec((1, block_k), lambda bi, hi, qi, ki: (bi, clamp_k(qi, ki))),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, clamp_k(qi, ki))),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, clamp_k(qi, ki))),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, clamp_k(qi, ki), 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki, g=g: (bi, hi // g, clamp_k(qi, ki), 0)),
@@ -459,11 +501,11 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-    )(qpos, kpos, qseg, kseg, q, k, v, do, lse8, delta8)
+    )(qpos[:, None], kpos[:, None], qseg[:, None], kseg[:, None], q, k, v, do, lse8, delta8)
 
     dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, scale=scale, causal=causal, window=window,
-        block_q=block_q, block_k=block_k, group=g,
+        _bwd_dkv_kernel, scale=scale, causal=causal, window=window, alibi=alibi,
+        n_heads=h, block_q=block_q, block_k=block_k, group=g,
     )
     def clamp_q(ki, qi):
         first = (ki * block_k) // block_q if causal else 0
@@ -481,10 +523,10 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
         ),
         grid=(b, hkv, nk, g, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q), lambda bi, hi, ki, gi, qi: (bi, clamp_q(ki, qi))),
-            pl.BlockSpec((1, block_k), lambda bi, hi, ki, gi, qi: (bi, ki)),
-            pl.BlockSpec((1, block_q), lambda bi, hi, ki, gi, qi: (bi, clamp_q(ki, qi))),
-            pl.BlockSpec((1, block_k), lambda bi, hi, ki, gi, qi: (bi, ki)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, ki, gi, qi: (bi, 0, clamp_q(ki, qi))),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, gi, qi: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, ki, gi, qi: (bi, 0, clamp_q(ki, qi))),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, gi, qi: (bi, 0, ki)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, gi, qi, g=g: (bi, hi * g + gi, clamp_q(ki, qi), 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, gi, qi: (bi, hi, ki, 0)),
@@ -500,7 +542,7 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
-    )(qpos, kpos, qseg, kseg, q, k, v, do, lse8, delta8)
+    )(qpos[:, None], kpos[:, None], qseg[:, None], kseg[:, None], q, k, v, do, lse8, delta8)
 
     return dq, dk, dv
 
@@ -511,28 +553,29 @@ def _bwd_pallas(res, g_out, *, scale, causal, window, block_q, block_k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12)
 )
-def _flash(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k):
-    o, _ = _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k)
+def _flash(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, alibi, block_q, block_k):
+    o, _ = _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, alibi, block_q, block_k)
     return o
 
 
-def _flash_fwd(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k):
-    o, lse8 = _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, block_q, block_k)
+def _flash_fwd(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, alibi, block_q, block_k):
+    o, lse8 = _fwd_call(q, k, v, qpos, kpos, qseg, kseg, scale, causal, window, alibi, block_q, block_k)
     # the kernel emits LSE (lanes-replicated x8) for free during the fwd pass
     return o, (q, k, v, o, lse8[..., 0], qpos, kpos, qseg, kseg)
 
 
-def _flash_bwd(scale, causal, window, block_q, block_k, res, g_out):
+def _flash_bwd(scale, causal, window, alibi, block_q, block_k, res, g_out):
     q = res[0]
     tq, tk = q.shape[2], res[1].shape[2]
     if tq % min(block_q, tq) == 0 and tk % min(block_k, tk) == 0:
         dq, dk, dv = _bwd_pallas(res, g_out, scale=scale, causal=causal,
-                                 window=window, block_q=block_q, block_k=block_k)
+                                 window=window, alibi=alibi,
+                                 block_q=block_q, block_k=block_k)
     else:
         dq, dk, dv = _bwd_reference(res, g_out, scale=scale, causal=causal,
-                                    window=window, block_k=block_k)
+                                    window=window, alibi=alibi, block_k=block_k)
     return dq, dk, dv, None, None, None, None
 
 
@@ -552,11 +595,18 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    alibi: bool = False,  # Voicebox-style symmetric ALiBi, computed in-kernel
+    # from the power-of-2 closed-form slopes (head count must be a power of 2)
+    fwd_only: bool = False,  # skip the custom_vjp wrapper (inference paths;
+    # also works around a jax lowering-cache bug with custom_vjp-wrapped
+    # pallas calls inside fori_loop)
 ) -> jnp.ndarray:
     """[B, T, H, d] layout wrapper around the [B, H, T, d] kernel.
 
     Sequences are padded up to a block multiple with segment id -1 (pad rows
     attend nothing / are attended by nothing), so arbitrary lengths are safe.
+    `alibi=True` enables the Voicebox-style symmetric ALiBi bias
+    (-slope*|i-j|, key position 0 exempt) computed inside the kernel.
     """
     d = q.shape[-1]
     tq, tk = q.shape[1], k.shape[1]
@@ -583,10 +633,20 @@ def flash_attention(
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    o = _flash(
-        qt, kt, vt,
-        q_positions, kv_positions, q_segment_ids, kv_segment_ids,
-        scale, causal, sliding_window, block_q, block_k,
-    )
+    h = q.shape[2]
+    if alibi:
+        assert h & (h - 1) == 0, "in-kernel ALiBi needs a power-of-2 head count"
+    if fwd_only:
+        o, _ = _fwd_call(
+            qt, kt, vt,
+            q_positions, kv_positions, q_segment_ids, kv_segment_ids,
+            scale, causal, sliding_window, alibi, block_q, block_k,
+        )
+    else:
+        o = _flash(
+            qt, kt, vt,
+            q_positions, kv_positions, q_segment_ids, kv_segment_ids,
+            scale, causal, sliding_window, alibi, block_q, block_k,
+        )
     o = jnp.swapaxes(o, 1, 2)
     return o[:, :tq] if pq else o
