@@ -121,3 +121,39 @@ def test_orbax_roundtrip(tmp_path):
     # second save with keep=2, then latest
     ckpt.save_train_state(path, state, step=7, keep=2)
     assert ckpt.latest_step(path) == 7
+
+
+def test_load_xlsr_hf_dir(tmp_path, rng):
+    """HF Wav2Vec2Model save_pretrained dir + kmeans npy -> loader -> units
+    match the direct converter path."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    from usdm_tpu.core.config import XlsrConfig
+    from usdm_tpu.models import xlsr as X
+
+    cfg = XlsrConfig.tiny()
+    hf_cfg = Wav2Vec2Config(
+        vocab_size=32, hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, intermediate_size=cfg.intermediate_size,
+        conv_dim=[cfg.conv_channels] * len(cfg.conv_kernels),
+        conv_kernel=list(cfg.conv_kernels), conv_stride=list(cfg.conv_strides),
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        num_conv_pos_embeddings=cfg.conv_pos_width,
+        num_conv_pos_embedding_groups=cfg.conv_pos_groups,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(0)
+    model = Wav2Vec2Model(hf_cfg).eval()
+    model.save_pretrained(tmp_path / "x")
+    cents = rng.standard_normal((cfg.num_clusters, cfg.hidden_size)).astype(np.float32)
+    np.save(tmp_path / "kmeans.npy", cents)
+
+    params, loaded_cfg = ckpt.load_xlsr(str(tmp_path / "x"), str(tmp_path / "kmeans.npy"))
+    assert loaded_cfg.hidden_size == cfg.hidden_size
+    assert loaded_cfg.conv_strides == cfg.conv_strides
+    np.testing.assert_array_equal(np.asarray(params["centroids"]), cents)
+
+    wav = jnp.asarray((rng.standard_normal((1, 3200)) * 0.1).astype(np.float32))
+    units, ulen = X.extract_units(params, loaded_cfg, wav, output_layer=loaded_cfg.num_layers)
+    u = np.asarray(units)[0, : int(ulen[0])]
+    assert (u >= 0).all() and (u < cfg.num_clusters).all()
