@@ -61,6 +61,9 @@ def main() -> int:
     user_file = st.file_uploader("User speech (wav)", type=["wav"])
     ref_file = st.file_uploader("Reference speaker audio (optional)", type=["wav"])
     n_steps = st.slider("ODE timesteps", 2, 50, 15)  # demo default 15 (streamlit_demo.py:205)
+    top_k = st.slider("top_k (1 = greedy)", 1, 100, 1)
+    top_p = st.slider("top_p", 0.1, 1.0, 1.0)
+    temperature = st.slider("temperature", 0.1, 2.0, 1.0)
     seed = st.number_input("Seed", value=0)
 
     if user_file is not None and st.button("Respond"):
@@ -77,7 +80,9 @@ def main() -> int:
 
         with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as out:
             result = pipe.respond(user_path, out.name, ref_path,
-                                  n_timesteps=int(n_steps), seed=int(seed))
+                                  n_timesteps=int(n_steps), seed=int(seed),
+                                  top_k=int(top_k), top_p=float(top_p),
+                                  temperature=float(temperature))
             st.markdown(f"**User said:** {result.user_text}")
             st.markdown(f"**Agent:** {result.agent_text}")
             if result.agent_units:

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     p.add_argument("--tokenizer_dir", default=None)
     p.add_argument("--n_timesteps", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--top_k", type=int, default=1, help="1 = greedy (reference default)")
+    p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--int8", action="store_true",
                    help="quantize the LLM to W8A8 int8 (faster decode)")
     p.add_argument("--demo", action="store_true", help="random tiny pipeline (plumbing check)")
@@ -55,6 +58,7 @@ def main(argv=None) -> int:
     result = pipe.respond(
         args.input_path, args.output_path, args.reference_path,
         n_timesteps=args.n_timesteps, seed=args.seed,
+        top_k=args.top_k, top_p=args.top_p, temperature=args.temperature,
     )
     print(f"user_text: {result.user_text!r}")
     print(f"agent_text: {result.agent_text!r}")

@@ -104,14 +104,21 @@ class UsdmPipeline:
         reference_path: Optional[str] = None,
         n_timesteps: int = 50,
         seed: int = 0,
+        top_k: int = 1,
+        top_p: float = 1.0,
+        temperature: float = 1.0,
     ) -> DialogResult:
         """Full speech-to-speech turn; writes the agent waveform if
-        `output_path` is given and returns the intermediate text/units."""
+        `output_path` is given and returns the intermediate text/units.
+        Sampling defaults to greedy like the reference (inference.py:64-82);
+        the demo exposes top_k/top_p/temperature (streamlit_demo.py:195-205)."""
         wav, _ = load_wav(input_path, sr=self.xlsr_cfg.sample_rate)
         user_units = self.extract_units(wav)
 
         policy = DialogPolicy(self.lm_params, self.lm_cfg, self.tokenizer,
-                              max_new_tokens=self.max_new_tokens)
+                              max_new_tokens=self.max_new_tokens,
+                              top_k=top_k, top_p=top_p, temperature=temperature,
+                              seed=seed)
         result = policy.respond_to_units(user_units)
 
         reference = None
