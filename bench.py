@@ -37,7 +37,7 @@ def _zeros_like_shapes(shapes, dtype=None):
 
 def bench_e2e():
     from usdm_tpu.core.config import BigVGANConfig, EngineConfig, MistralConfig, VoiceboxConfig
-    from usdm_tpu.engine.paged import PagedKV, paged_decode_step, paged_prefill
+    from usdm_tpu.engine.paged import PagedKV, paged_decode_step, paged_prefill_chunk
     from usdm_tpu.models import bigvgan as BGV
     from usdm_tpu.models import mistral as M
     from usdm_tpu.models import voicebox as VB
@@ -64,21 +64,29 @@ def bench_e2e():
     allow = jnp.ones(cfg.vocab_size, bool)
 
     # warm-up / compile
-    first, kv = paged_prefill(params, kv, cfg, jnp.asarray(prompt),
-                              jnp.asarray([384], jnp.int32), table[0], allow, ecfg.page_size)
-    tok = jnp.asarray([int(first)], jnp.int32)
+    logits, kv = paged_prefill_chunk(
+        params, kv, cfg, jnp.asarray(prompt[0]),
+        jnp.asarray(0, jnp.int32), jnp.asarray(384, jnp.int32),
+        table[0], ecfg.page_size, 2,
+    )
+    tok = jnp.argmax(logits)[None].astype(jnp.int32)
     lens = jnp.asarray([384], jnp.int32)
     act = jnp.ones(1, bool)
     am = allow[None]
-    nxt, kv = paged_decode_step(params, kv, cfg, tok, lens, table, act, am, ecfg.page_size)
-    nxt.block_until_ready()
+    keys = jnp.zeros((1, 2), jnp.uint32)
+    ones_i = jnp.ones(1, jnp.int32)
+    ones_f = jnp.ones(1, jnp.float32)
+    nxt, keys, kv = paged_decode_step(params, kv, cfg, tok, lens, table, act, am,
+                                      ecfg.page_size, keys, ones_i, ones_f, ones_f)
+    np.asarray(nxt)  # block_until_ready is NOT a reliable sync over the tunnel
 
     n_tokens = 320  # ~40 ASR + ~30 text + ~250 units (5 s of speech)
     n_meas = 64  # measure a slice and extrapolate (per-token cost is flat)
     t0 = time.time()
     for i in range(n_meas):
-        nxt, kv = paged_decode_step(params, kv, cfg, nxt, lens + 1 + i, table, act, am, ecfg.page_size)
-    nxt.block_until_ready()
+        nxt, keys, kv = paged_decode_step(params, kv, cfg, nxt, lens + 1 + i, table, act, am,
+                                          ecfg.page_size, keys, ones_i, ones_f, ones_f)
+    np.asarray(nxt)  # real device->host sync
     llm_s = (time.time() - t0) / n_meas * n_tokens
 
     frames = 430  # 5 s at 86.13 Hz

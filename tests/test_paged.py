@@ -96,6 +96,122 @@ def test_per_slot_masks(setup, rng):
     assert all(50 <= t < 70 for t in rb.output_ids)
 
 
+def test_sampled_decode_deterministic(setup, rng):
+    """Same seed -> identical sampled outputs; different seed -> (almost
+    surely) different; every token respects the slot's allow mask."""
+    params = setup
+    allow = np.zeros(CFG.vocab_size, bool)
+    allow[20:80] = True
+    prompt = rng.integers(3, CFG.vocab_size, size=9).tolist()
+
+    def run_once(seed):
+        eng = PagedEngine(params, CFG, ECFG)
+        r = Request(0, list(prompt), allow, eos_id=1, max_new_tokens=12,
+                    top_k=20, top_p=0.95, temperature=1.3, seed=seed)
+        eng.run([r])
+        return r.output_ids
+
+    a = run_once(7)
+    b = run_once(7)
+    c = run_once(8)
+    assert a == b
+    assert all(20 <= t < 80 for t in a)
+    assert a != c  # 12 tokens from a 20-wide top-k: collision ~ impossible
+
+
+def test_sampled_matches_solo_when_batched(setup, rng):
+    """A sampling request's output must not depend on what shares the batch
+    (per-slot PRNG streams)."""
+    params = setup
+    allow = np.ones(CFG.vocab_size, bool)
+    mk = lambda rid, seed: Request(  # noqa: E731
+        rid, rng.integers(3, CFG.vocab_size, size=8).tolist(), allow,
+        eos_id=1, max_new_tokens=8, top_k=10, temperature=0.9, seed=seed)
+    r_solo = mk(0, 5)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ECFG)
+        eng.run([r_solo])
+
+        r_same = Request(0, list(r_solo.prompt_ids), allow, 1, 8,
+                         top_k=10, temperature=0.9, seed=5)
+        greedy_mates = [_req(rng, i, n=6 + i, max_new=8) for i in range(1, 4)]
+        eng2 = PagedEngine(params, CFG, ECFG)
+        eng2.run([r_same] + greedy_mates)
+    assert r_solo.output_ids == r_same.output_ids
+
+
+def test_chunked_prefill_matches_monolithic(setup, rng):
+    """A prompt longer than prefill_chunk must produce the same greedy output
+    as one that fits in a single chunk."""
+    params = setup
+    prompt = rng.integers(3, CFG.vocab_size, size=40).tolist()
+    allow = np.ones(CFG.vocab_size, bool)
+    with jax.default_matmul_precision("highest"):
+        big = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                           prefill_chunk=64)  # one chunk
+        small = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                             prefill_chunk=16)  # 3 chunks
+        r1 = Request(0, list(prompt), allow, eos_id=1, max_new_tokens=6)
+        r2 = Request(0, list(prompt), allow, eos_id=1, max_new_tokens=6)
+        PagedEngine(params, CFG, big).run([r1])
+        PagedEngine(params, CFG, small).run([r2])
+    assert r1.output_ids == r2.output_ids
+
+
+def test_prefill_does_not_stall_decode(setup, rng):
+    """While a long prompt prefills chunk-by-chunk, an in-flight request must
+    keep emitting one token per engine step (no head-of-line stall)."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                        prefill_chunk=16)
+    eng = PagedEngine(params, CFG, ecfg)
+    allow = np.ones(CFG.vocab_size, bool)
+    ra = Request(0, rng.integers(3, 96, size=8).tolist(), allow, eos_id=1,
+                 max_new_tokens=20)
+    eng.submit(ra)
+    eng.step()  # admit + prefill (1 chunk) + first decode happens next step
+    base = len(ra.output_ids)
+    # now a long prompt arrives: 64 tokens = 4 chunks of prefill
+    rb = Request(1, rng.integers(3, 96, size=64).tolist(), allow, eos_id=1,
+                 max_new_tokens=4)
+    eng.submit(rb)
+    for i in range(4):  # every step during rb's 4-chunk prefill...
+        got = len(ra.output_ids)
+        eng.step()
+        assert len(ra.output_ids) == got + 1  # ...ra still emits a token
+        # rb emits nothing until its last chunk lands (then first token +
+        # same-step decode = 2)
+        assert len(rb.output_ids) == (2 if i == 3 else 0)
+    eng.run([])  # drain
+    assert ra.finished and rb.finished
+    assert 1 <= len(rb.output_ids) <= 4
+
+
+def test_admission_skips_too_big_head(setup, rng):
+    """With an HBM-bounded page pool, a queue head that doesn't fit must not
+    block smaller requests behind it (round-1 broke here: `break`)."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=3,
+                        prefill_chunk=32, n_pages=10)
+    allow = np.ones(CFG.vocab_size, bool)
+    big = Request(0, rng.integers(3, 96, size=48).tolist(), allow, eos_id=0,
+                  max_new_tokens=60)  # ceil(108/16)=7 pages -> 3 left
+    head = Request(1, rng.integers(3, 96, size=60).tolist(), allow, eos_id=0,
+                   max_new_tokens=60)  # needs 8 pages: can't fit yet
+    tiny = Request(2, rng.integers(3, 96, size=6).tolist(), allow, eos_id=0,
+                   max_new_tokens=4)  # 1 page: fits now
+    eng = PagedEngine(params, CFG, ecfg)
+    eng.submit(big)
+    eng.step()
+    eng.submit(head)
+    eng.submit(tiny)
+    for _ in range(8):
+        eng.step()
+    assert tiny.finished  # admitted past the stuck head
+    eng.run([])
+    assert big.finished and head.finished
+
+
 def test_multi_step_matches_single_step(setup, rng):
     """decode_horizon=8 device-side loop must emit exactly what per-token
     stepping emits."""

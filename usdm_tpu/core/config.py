@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Optional
 
 
 def _asdict(cfg) -> dict:
@@ -313,3 +313,8 @@ class EngineConfig(_Base):
     page_size: int = 256          # tokens per KV page (bench-tuned on v5e)
     max_pages_per_seq: int = 32   # per-sequence budget (page_size * this)
     max_batch_size: int = 8
+    prefill_chunk: int = 256      # tokens prefilled per engine step: bounds how
+    # long an admission can stall in-flight decodes (vLLM chunked prefill)
+    n_pages: Optional[int] = None  # KV pool size; None = max_batch_size *
+    # max_pages_per_seq (never page-constrained).  Set lower to bound HBM like
+    # vLLM's gpu_memory_utilization-derived pool.

@@ -2,21 +2,26 @@
 
 TPU-native replacement for the reference's vLLM path
 (/root/reference/src/inference_vllm.py:109: continuous batching + PagedAttention
-CUDA kernels + per-stage logits processors/stop ids).  Design:
+CUDA kernels + per-stage logits processors / SamplingParams).  Design:
 
   * KV memory is a pool of fixed-size pages in HBM:
-    k_pages/v_pages [L, n_pages, page_size, Hkv, hd].  A host-side free list
-    assigns pages; sequences own scattered pages via a page table
-    [slots, max_pages].  Admission never reshapes device buffers.
+    k_pages/v_pages [L, Hkv, N, P, hd].  A host-side free list assigns pages;
+    sequences own scattered pages via a page table [slots, max_pages].
+    Admission never reshapes device buffers.
   * Decode is one jitted step over all active slots: embed, 32-layer scan,
-    per-slot page-table gather attention (Pallas kernel when available, jnp
-    gather otherwise), per-slot logit masks, greedy/top-k sampling — the host
-    sees one token per slot per step.
-  * Prefill runs per admitted request at bucketed lengths, writing K/V
-    straight into the request's pages.
+    per-slot page-table attention (Pallas kernel on TPU), per-slot logit
+    masks, per-slot top-k/top-p/temperature sampling with per-request PRNG
+    keys (vLLM SamplingParams, inference_vllm.py:112-125) — the host sees one
+    token per slot per step.
+  * Prefill is CHUNKED and non-blocking: each engine step advances at most
+    one waiting prompt by `prefill_chunk` tokens, writing K/V straight into
+    the request's pages, while every decoding slot still emits its token that
+    step — an admission can never stall in-flight requests by more than one
+    chunk (vLLM chunked-prefill scheduling).
   * Continuous batching: finished slots free their pages and are refilled
-    from the waiting queue between steps (the scheduler is host Python; the
-    hot loop never leaves the device).
+    from the waiting queue between steps with best-fit admission (no
+    head-of-line blocking).  The scheduler is host Python; the hot loop never
+    leaves the device.
 
 Per-request logit masks + stop ids implement the 3-stage dialog constraints
 (inference_vllm.py:70-84,112-125) as vectorized jnp ops.
@@ -35,8 +40,11 @@ import numpy as np
 from usdm_tpu.core.config import EngineConfig, MistralConfig
 from usdm_tpu.models import mistral as M
 from usdm_tpu.models.quant import qmm
-from usdm_tpu.ops.attention import decode_attention, mha
-from usdm_tpu.ops.sampling import NEG_INF
+from usdm_tpu.ops.attention import mha
+from usdm_tpu.ops.sampling import NEG_INF, sample_batched, split_keys
+
+# slot states
+FREE, PREFILL, DECODE = 0, 1, 2
 
 
 # ---------------------------------------------------------------------------
@@ -59,10 +67,7 @@ class PagedKV:
 jax.tree_util.register_dataclass(PagedKV, data_fields=["k_pages", "v_pages"], meta_fields=[])
 
 
-
-
-
-@partial(jax.jit, static_argnames=("cfg", "page_size"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample"), donate_argnums=(1,))
 def paged_decode_step(
     params: M.Params,
     kv: PagedKV,
@@ -73,8 +78,17 @@ def paged_decode_step(
     active: jnp.ndarray,  # [B] bool
     allow_masks: jnp.ndarray,  # [B, V] bool per-slot vocab masks
     page_size: int,
-) -> Tuple[jnp.ndarray, PagedKV]:
-    """One decode step for every active slot -> (next_token [B], kv')."""
+    keys: jnp.ndarray,  # [B, 2] uint32 per-slot PRNG keys
+    top_k: jnp.ndarray,  # [B] int32
+    top_p: jnp.ndarray,  # [B] f32
+    temperature: jnp.ndarray,  # [B] f32
+    do_sample: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, PagedKV]:
+    """One decode step for every active slot -> (next_token [B], keys', kv').
+
+    With do_sample=False every slot is argmax and `keys` pass through
+    untouched (the common greedy path compiles without the vocab sort).
+    """
     b = tokens.shape[0]
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cdt = jnp.dtype(cfg.dtype)
@@ -128,67 +142,114 @@ def paged_decode_step(
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
     logits = jnp.where(allow_masks, logits, NEG_INF)
-    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if do_sample:
+        keys, use = split_keys(keys)
+        nxt = sample_batched(logits, use, top_k, top_p, temperature)
+    else:
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     nxt = jnp.where(active, nxt, 0)
-    return nxt, PagedKV(new_k, new_v)
+    return nxt, keys, PagedKV(new_k, new_v)
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size"), donate_argnums=(1,))
-def paged_prefill(
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages"), donate_argnums=(1,))
+def paged_prefill_chunk(
     params: M.Params,
     kv: PagedKV,
     cfg: MistralConfig,
-    input_ids: jnp.ndarray,  # [1, T] right-padded prompt
-    input_len: jnp.ndarray,  # [1]
+    chunk_ids: jnp.ndarray,  # [C] right-padded chunk of prompt tokens
+    start: jnp.ndarray,  # [] int32: tokens already written for this slot
+    n_valid: jnp.ndarray,  # [] int32: valid tokens in this chunk
     page_table_row: jnp.ndarray,  # [maxp] this request's pages
-    allow_mask: jnp.ndarray,  # [V]
     page_size: int,
+    n_ctx_pages: int,  # static: pages gathered as attention context
 ) -> Tuple[jnp.ndarray, PagedKV]:
-    """Prefill one request into its pages -> (first generated token, kv')."""
-    b, t = input_ids.shape
+    """Prefill one chunk of one request into its pages.
+
+    Chunk queries attend to the request's previously-written pages plus the
+    chunk itself (causal); K/V land directly in the page pool, so a prompt of
+    any length streams through in `C`-token slices interleaved with decode
+    steps (vLLM chunked prefill; reference admission is monolithic,
+    inference_vllm.py:109).  Returns (last-valid-token logits [V] f32, kv').
+    """
+    c = chunk_ids.shape[0]
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cdt = jnp.dtype(cfg.dtype)
+    p = page_size
+    s_ctx = n_ctx_pages * p
 
-    positions = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
-    seg = jnp.where(positions < input_len[:, None], 0, -1)
-    x = params["embed"].astype(cdt)[input_ids]
+    positions = (start + jnp.arange(c))[None]  # [1, C] absolute
+    q_seg = jnp.where(jnp.arange(c)[None] < n_valid, 0, -1)
+    x = params["embed"].astype(cdt)[chunk_ids][None]  # [1, C, D]
     cos, sin = M.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
-    tpos = jnp.arange(t)
-    pages_t = page_table_row[jnp.minimum(tpos // page_size, page_table_row.shape[0] - 1)]
-    # bucket padding may extend past this request's allocation: send padded
-    # positions to the reserved trash page instead of page-table row 0.
+    # write targets: chunk token i lives at global index start+i
+    gidx = start + jnp.arange(c)
+    pages_t = page_table_row[jnp.minimum(gidx // p, page_table_row.shape[0] - 1)]
     trash = kv.k_pages.shape[2] - 1
-    pages_t = jnp.where(tpos < input_len[0], pages_t, trash)
-    offs_t = tpos % page_size
+    pages_t = jnp.where(jnp.arange(c) < n_valid, pages_t, trash)
+    offs_t = gidx % p
+
+    # context: the first n_ctx_pages of this row (covers start + C tokens);
+    # rows beyond the allocation point at page 0 — masked out by kv_seg below.
+    row_ids = page_table_row[:n_ctx_pages]
+    kv_pos = jnp.arange(s_ctx)[None]  # [1, S_ctx]
+    kv_seg = jnp.where(kv_pos < start + n_valid, 0, -1)
 
     def body(x, xs):
         lp, k_l, v_l = xs
         y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = qmm(y, lp["wq"]).reshape(b, t, h, hd)
-        kk = qmm(y, lp["wk"]).reshape(b, t, hkv, hd)
-        vv = qmm(y, lp["wv"]).reshape(b, t, hkv, hd)
+        q = qmm(y, lp["wq"]).reshape(1, c, h, hd)
+        kk = qmm(y, lp["wk"]).reshape(1, c, hkv, hd)
+        vv = qmm(y, lp["wv"]).reshape(1, c, hkv, hd)
         q = M.apply_rope(q, cos, sin)
         kk = M.apply_rope(kk, cos, sin)
-        attn = mha(q, kk, vv, q_segment_ids=seg, kv_segment_ids=seg,
-                   q_positions=positions, kv_positions=positions,
-                   causal=True, sliding_window=cfg.sliding_window, impl="auto")
-        x = x + qmm(attn.reshape(b, t, h * hd), lp["wo"])
-        y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]), lp["w_down"])
 
         k_l = k_l.at[:, pages_t, offs_t].set(kk[0].transpose(1, 0, 2).astype(k_l.dtype))
         v_l = v_l.at[:, pages_t, offs_t].set(vv[0].transpose(1, 0, 2).astype(v_l.dtype))
+
+        # gather this request's context (including the chunk just written)
+        kc = k_l[:, row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+        vc = v_l[:, row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+        attn = mha(
+            q, kc.astype(cdt), vc.astype(cdt),
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            q_positions=positions, kv_positions=kv_pos,
+            causal=True, sliding_window=cfg.sliding_window, impl="auto",
+        )
+        x = x + qmm(attn.reshape(1, c, h * hd), lp["wo"])
+        y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]), lp["w_down"])
         return x, (k_l, v_l)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], kv.k_pages, kv.v_pages))
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    last = jnp.clip(input_len - 1, 0, t - 1)
-    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    logits = (x_last @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
-    logits = jnp.where(allow_mask[None], logits, NEG_INF)
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
-    return first, PagedKV(new_k, new_v)
+    last = jnp.clip(n_valid - 1, 0, c - 1)
+    logits = (x[0, last] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    return logits, PagedKV(new_k, new_v)
+
+
+@partial(jax.jit, static_argnames=("do_sample",))
+def sample_next(
+    logits: jnp.ndarray,  # [V] f32 unmasked
+    allow: jnp.ndarray,  # [V] bool
+    key: jnp.ndarray,  # [2] uint32
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    temperature: jnp.ndarray,
+    do_sample: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mask + sample one token (first token after prefill) -> (token, key')."""
+    masked = jnp.where(allow, logits, NEG_INF)[None]
+    if do_sample:
+        ks = jax.random.split(key, 2)
+        tok = sample_batched(
+            masked, ks[1][None],
+            jnp.asarray(top_k, jnp.int32)[None],
+            jnp.asarray(top_p, jnp.float32)[None],
+            jnp.asarray(temperature, jnp.float32)[None],
+        )[0]
+        return tok, ks[0]
+    return jnp.argmax(masked[0]).astype(jnp.int32), key
 
 
 # ---------------------------------------------------------------------------
@@ -203,9 +264,27 @@ class Request:
     allow_mask: np.ndarray  # [V] bool
     eos_id: int
     max_new_tokens: int = 256
+    # sampling (vLLM SamplingParams analog; top_k=1 -> greedy)
+    top_k: int = 1
+    top_p: float = 1.0
+    temperature: float = 1.0
+    seed: int = 0
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
+
+    @property
+    def sampled(self) -> bool:
+        return self.top_k != 1
+
+
+def _ctx_pages_bucket(n_pages: int, maxp: int) -> int:
+    """Round the context-gather page count up to a power of two (bounds the
+    number of compiled paged_prefill_chunk variants to log2(maxp))."""
+    b = 1
+    while b < n_pages:
+        b *= 2
+    return min(b, maxp) if n_pages <= maxp else maxp
 
 
 class PagedEngine:
@@ -217,18 +296,26 @@ class PagedEngine:
         self.ecfg = ecfg
         ps = ecfg.page_size
         # +1: the last page is a reserved scratch target for inactive slots
-        n_pages = ecfg.max_batch_size * ecfg.max_pages_per_seq + 1
+        n_pages = (ecfg.n_pages or ecfg.max_batch_size * ecfg.max_pages_per_seq) + 1
         self.kv = PagedKV.create(cfg, n_pages, ps)
         self.free_pages: List[int] = list(range(n_pages - 1))
         b = ecfg.max_batch_size
         self.page_table = np.zeros((b, ecfg.max_pages_per_seq), np.int32)
         self.seq_lens = np.zeros(b, np.int32)
         self.tokens = np.zeros(b, np.int32)
-        self.active = np.zeros(b, bool)
-        self.allow = np.ones((b, cfg.vocab_size), bool)
+        self.status = np.zeros(b, np.int32)  # FREE / PREFILL / DECODE
+        self.top_k = np.ones(b, np.int32)
+        self.top_p = np.ones(b, np.float32)
+        self.temp = np.ones(b, np.float32)
         self.eos = np.zeros(b, np.int32)
+        # device-resident per-slot state, rewritten only on admission (the
+        # [B, V] mask upload per step would dominate tunnel traffic otherwise)
+        self._allow_dev = jnp.ones((b, cfg.vocab_size), bool)
+        self._keys_dev = jnp.zeros((b, 2), jnp.uint32)
         self.slot_req: List[Optional[Request]] = [None] * b
         self.slot_pages: List[List[int]] = [[] for _ in range(b)]
+        self.prefill_pos = np.zeros(b, np.int32)  # prompt tokens written so far
+        self.prefill_order: List[int] = []  # FCFS queue of PREFILL slots
         self.waiting: List[Request] = []
         self.steps = 0
         # device-side decode horizon: sync with the host every N tokens when
@@ -238,6 +325,15 @@ class PagedEngine:
         # the host itself is the bottleneck.
         self.decode_horizon = 1
 
+    @property
+    def active(self) -> np.ndarray:
+        """[B] bool: slots currently decoding (PREFILL slots excluded)."""
+        return self.status == DECODE
+
+    @property
+    def busy(self) -> bool:
+        return bool(self.waiting or (self.status != FREE).any())
+
     # ------------------------------------------------------------ scheduling
     def submit(self, req: Request) -> None:
         self.waiting.append(req)
@@ -245,42 +341,84 @@ class PagedEngine:
     def _pages_needed(self, n_tokens: int) -> int:
         return -(-n_tokens // self.ecfg.page_size)
 
+    def _free_slots(self) -> List[int]:
+        return [s for s in range(self.ecfg.max_batch_size) if self.status[s] == FREE]
+
     def _try_admit(self) -> None:
-        for slot in range(self.ecfg.max_batch_size):
-            if self.active[slot] or not self.waiting:
-                continue
-            req = self.waiting[0]
+        """Assign waiting requests to free slots + pages (no compute here).
+
+        FCFS with skip: a request that doesn't fit right now doesn't block
+        smaller ones behind it (the round-1 head-of-line `break` is gone).
+        """
+        slots = self._free_slots()
+        i = 0
+        while i < len(self.waiting) and slots:
+            req = self.waiting[i]
             need = self._pages_needed(len(req.prompt_ids) + req.max_new_tokens)
-            if need > self.ecfg.max_pages_per_seq or need > len(self.free_pages):
-                break  # head-of-line blocking: wait for frees
-            self.waiting.pop(0)
+            if need > self.ecfg.max_pages_per_seq:
+                raise ValueError(
+                    f"request {req.req_id} needs {need} pages > "
+                    f"max_pages_per_seq={self.ecfg.max_pages_per_seq}"
+                )
+            if need > len(self.free_pages):
+                i += 1
+                continue
+            self.waiting.pop(i)
+            slot = slots.pop(0)
             pages = [self.free_pages.pop() for _ in range(need)]
             self.slot_pages[slot] = pages
             row = np.zeros(self.ecfg.max_pages_per_seq, np.int32)
             row[: len(pages)] = pages
             self.page_table[slot] = row
-
-            # bucketed prefill
-            n = len(req.prompt_ids)
-            bucket = max(128, -(-n // 128) * 128)
-            padded = np.zeros((1, bucket), np.int32)
-            padded[0, :n] = req.prompt_ids
-            first, self.kv = paged_prefill(
-                self.params, self.kv, self.cfg,
-                jnp.asarray(padded), jnp.asarray([n], jnp.int32),
-                jnp.asarray(row), jnp.asarray(req.allow_mask),
-                self.ecfg.page_size,
-            )
-            first = int(first)
-            req.output_ids.append(first)
             self.slot_req[slot] = req
-            self.seq_lens[slot] = n
-            self.tokens[slot] = first
-            self.active[slot] = True
-            self.allow[slot] = req.allow_mask
+            self.status[slot] = PREFILL
+            self.prefill_pos[slot] = 0
+            self.prefill_order.append(slot)
+            self.top_k[slot] = req.top_k
+            self.top_p[slot] = req.top_p
+            self.temp[slot] = req.temperature
             self.eos[slot] = req.eos_id
-            if first == req.eos_id or len(req.output_ids) >= req.max_new_tokens:
-                self._finish(slot)
+            self._allow_dev = self._allow_dev.at[slot].set(jnp.asarray(req.allow_mask))
+            key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
+            self._keys_dev = self._keys_dev.at[slot].set(jnp.asarray(key))
+
+    def _prefill_tick(self) -> None:
+        """Advance the oldest prefilling request by one chunk."""
+        if not self.prefill_order:
+            return
+        slot = self.prefill_order[0]
+        req = self.slot_req[slot]
+        start = int(self.prefill_pos[slot])
+        n = min(self.ecfg.prefill_chunk, len(req.prompt_ids) - start)
+        c = self.ecfg.prefill_chunk
+        ids = np.zeros(c, np.int32)
+        ids[:n] = req.prompt_ids[start : start + n]
+        ncp = _ctx_pages_bucket(
+            self._pages_needed(start + c), self.ecfg.max_pages_per_seq
+        )
+        logits, self.kv = paged_prefill_chunk(
+            self.params, self.kv, self.cfg,
+            jnp.asarray(ids), jnp.asarray(start, jnp.int32), jnp.asarray(n, jnp.int32),
+            jnp.asarray(self.page_table[slot]),
+            self.ecfg.page_size, ncp,
+        )
+        self.prefill_pos[slot] = start + n
+        if start + n < len(req.prompt_ids):
+            return  # more chunks to go; logits discarded
+        # prompt complete: sample the first generated token
+        self.prefill_order.pop(0)
+        tok, new_key = sample_next(
+            logits, self._allow_dev[slot], self._keys_dev[slot],
+            req.top_k, req.top_p, req.temperature, do_sample=req.sampled,
+        )
+        self._keys_dev = self._keys_dev.at[slot].set(new_key)
+        first = int(tok)
+        req.output_ids.append(first)
+        self.seq_lens[slot] = len(req.prompt_ids)
+        self.tokens[slot] = first
+        self.status[slot] = DECODE
+        if first == req.eos_id or len(req.output_ids) >= req.max_new_tokens:
+            self._finish(slot)
 
     def _finish(self, slot: int) -> None:
         req = self.slot_req[slot]
@@ -288,25 +426,37 @@ class PagedEngine:
             req.finished = True
         self.free_pages.extend(self.slot_pages[slot])
         self.slot_pages[slot] = []
-        self.active[slot] = False
+        self.status[slot] = FREE
         self.slot_req[slot] = None
+
+    def _do_sample(self) -> bool:
+        return any(
+            r is not None and r.sampled and self.status[s] == DECODE
+            for s, r in enumerate(self.slot_req)
+        )
 
     # ------------------------------------------------------------------ run
     def step(self) -> int:
-        """Admit + one decode step; returns number of active slots."""
+        """Admit + one prefill chunk + one decode step.
+
+        Returns the number of occupied (prefilling or decoding) slots."""
         self._try_admit()
-        if not self.active.any():
-            return 0
-        nxt, self.kv = paged_decode_step(
+        self._prefill_tick()
+        dec = self.status == DECODE
+        if not dec.any():
+            return int((self.status != FREE).sum())
+        nxt, self._keys_dev, self.kv = paged_decode_step(
             self.params, self.kv, self.cfg,
             jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
-            jnp.asarray(self.page_table), jnp.asarray(self.active),
-            jnp.asarray(self.allow), self.ecfg.page_size,
+            jnp.asarray(self.page_table), jnp.asarray(dec),
+            self._allow_dev, self.ecfg.page_size,
+            self._keys_dev, jnp.asarray(self.top_k), jnp.asarray(self.top_p),
+            jnp.asarray(self.temp), do_sample=self._do_sample(),
         )
         nxt = np.asarray(nxt)
         self.steps += 1
         for slot in range(self.ecfg.max_batch_size):
-            if not self.active[slot]:
+            if not dec[slot]:
                 continue
             self.seq_lens[slot] += 1
             tok = int(nxt[slot])
@@ -320,25 +470,30 @@ class PagedEngine:
                 or total >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
             ):
                 self._finish(slot)
-        return int(self.active.sum())
+        return int((self.status != FREE).sum())
 
     def step_multi(self, n_steps: int) -> int:
-        """Admit, then decode up to n_steps tokens fully on device."""
+        """One prefill chunk, then decode up to n_steps tokens on device."""
         self._try_admit()
-        if not self.active.any():
-            return 0
-        toks, n_emitted, self.kv = paged_decode_multi(
+        self._prefill_tick()
+        dec = self.status == DECODE
+        if not dec.any():
+            return int((self.status != FREE).sum())
+        toks, n_emitted, self._keys_dev, self.kv = paged_decode_multi(
             self.params, self.kv, self.cfg,
             jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
-            jnp.asarray(self.page_table), jnp.asarray(self.active),
-            jnp.asarray(self.allow), jnp.asarray(self.eos),
-            self.ecfg.page_size, n_steps,
+            jnp.asarray(self.page_table), jnp.asarray(dec),
+            self._allow_dev, jnp.asarray(self.eos),
+            self.ecfg.page_size,
+            self._keys_dev, jnp.asarray(self.top_k), jnp.asarray(self.top_p),
+            jnp.asarray(self.temp), do_sample=self._do_sample(),
+            n_steps=n_steps,
         )
         toks = np.asarray(toks)
         n_emitted = np.asarray(n_emitted)
         self.steps += n_steps
         for slot in range(self.ecfg.max_batch_size):
-            if not self.active[slot]:
+            if not dec[slot]:
                 continue
             n = int(n_emitted[slot])
             req = self.slot_req[slot]
@@ -355,22 +510,26 @@ class PagedEngine:
                 or total >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
             ):
                 if len(req.output_ids) > req.max_new_tokens:
-                    del req.output_ids[req.max_new_tokens:]
+                    del req.output_ids[req.max_new_tokens :]
                 self._finish(slot)
-        return int(self.active.sum())
+        return int((self.status != FREE).sum())
 
     def run(self, requests: List[Request]) -> List[Request]:
         for r in requests:
             self.submit(r)
-        while self.waiting or self.active.any():
-            if self.waiting:
-                self.step()  # admit aggressively while a queue exists
+        while self.waiting or (self.status != FREE).any():
+            if self.waiting or self.prefill_order:
+                self.step()  # keep admitting/prefilling while a queue exists
             else:
                 self.step_multi(self.decode_horizon)
         return requests
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_steps"), donate_argnums=(1,))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "n_steps", "do_sample"),
+    donate_argnums=(1,),
+)
 def paged_decode_multi(
     params: M.Params,
     kv: PagedKV,
@@ -382,35 +541,42 @@ def paged_decode_multi(
     allow_masks: jnp.ndarray,  # [B, V]
     eos_ids: jnp.ndarray,  # [B]
     page_size: int,
+    keys: jnp.ndarray,  # [B, 2] uint32
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    temperature: jnp.ndarray,
+    do_sample: bool = False,
     n_steps: int = 8,
-) -> Tuple[jnp.ndarray, jnp.ndarray, PagedKV]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
     """Run up to `n_steps` decode steps fully on device.
 
     Cuts the per-token host round-trip of `step()` (over a tunneled TPU that
     RTT dominates): the scheduler only syncs every `n_steps` tokens.  Rows
-    freeze at their own EOS; returns (tokens [B, n_steps], n_emitted [B], kv).
+    freeze at their own EOS; returns (tokens [B, n_steps], n_emitted [B],
+    keys', kv).
     """
     b = tokens.shape[0]
 
     def body(i, carry):
-        kv, tok, lens, done, out = carry
-        nxt, kv = paged_decode_step.__wrapped__(
+        kv, tok, lens, done, keys, out = carry
+        nxt, keys, kv = paged_decode_step.__wrapped__(
             params, kv, cfg, tok, lens, page_table,
             jnp.logical_and(active, ~done), allow_masks, page_size,
+            keys, top_k, top_p, temperature, do_sample=do_sample,
         )
         nxt = jnp.where(done, 0, nxt)
         out = out.at[:, i].set(nxt)
         new_done = jnp.logical_or(done, nxt == eos_ids)
         lens = jnp.where(done, lens, lens + 1)
-        return kv, nxt, lens, new_done, out
+        return kv, nxt, lens, new_done, keys, out
 
     out0 = jnp.zeros((b, n_steps), jnp.int32)
     done0 = ~active
-    kv, _, lens, done, out = jax.lax.fori_loop(
-        0, n_steps, body, (kv, tokens, seq_lens, done0, out0)
+    kv, _, lens, done, keys, out = jax.lax.fori_loop(
+        0, n_steps, body, (kv, tokens, seq_lens, done0, keys, out0)
     )
     is_eos = out == eos_ids[:, None]
     any_eos = jnp.any(is_eos, axis=1)
     eos_pos = jnp.argmax(is_eos, axis=1)
     n_emitted = jnp.where(active, jnp.where(any_eos, eos_pos + 1, n_steps), 0)
-    return out, n_emitted, kv
+    return out, n_emitted, keys, kv

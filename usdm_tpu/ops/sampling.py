@@ -15,7 +15,7 @@ Stage contract (SURVEY.md §3):
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,3 +85,53 @@ def sample_token(
         logits = jnp.where(logits < cutoff_val, NEG_INF, logits)
     assert key is not None, "non-greedy sampling needs a PRNG key"
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_batched(
+    logits: jnp.ndarray,  # [B, V] f32, already masked
+    keys: jnp.ndarray,  # [B, 2] uint32 per-row PRNG keys
+    top_k: jnp.ndarray,  # [B] int32; 1 = greedy row, <=0 = no k-filter
+    top_p: jnp.ndarray,  # [B] f32; >=1 = no p-filter
+    temperature: jnp.ndarray,  # [B] f32
+) -> jnp.ndarray:
+    """Per-row dynamic top-k -> top-p -> categorical sampling.
+
+    The vectorized form of `sample_token` for the continuous-batching engine:
+    every slot carries its own sampling params and PRNG key (reference threads
+    per-request SamplingParams through vLLM, inference_vllm.py:112-125).
+    Filters apply sequentially (k then p, HF warper order) via one descending
+    sort; rows with top_k == 1 take the argmax (contract of `sample_token`).
+    """
+    b, v = logits.shape
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    sdesc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    # top-k: in descending order the post-k-filter array just zeroes the tail,
+    # so one sort serves both filters.
+    idx = jnp.arange(v)[None]
+    k_active = (top_k > 0)[:, None]
+    kdesc = jnp.where(k_active & (idx >= top_k[:, None]), NEG_INF, sdesc)
+    kth = jnp.where(
+        k_active,
+        jnp.take_along_axis(sdesc, jnp.clip(top_k - 1, 0, v - 1)[:, None], axis=-1),
+        NEG_INF,
+    )
+    # top-p on the k-filtered distribution: smallest prefix with cum >= top_p
+    probs = jax.nn.softmax(kdesc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.clip(jnp.sum(cum < top_p[:, None], axis=-1), 0, v - 1)
+    pth = jnp.where(
+        (top_p < 1.0)[:, None],
+        jnp.take_along_axis(kdesc, cutoff_idx[:, None], axis=-1),
+        NEG_INF,
+    )
+    filtered = jnp.where(scaled < jnp.maximum(kth, pth), NEG_INF, scaled)
+    sampled = jax.vmap(jax.random.categorical)(keys, filtered).astype(jnp.int32)
+    return jnp.where(top_k == 1, greedy, sampled)
+
+
+def split_keys(keys: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, 2] uint32 -> (carry [B, 2], use [B, 2]): one split per row."""
+    s = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+    return s[:, 0], s[:, 1]
