@@ -29,14 +29,20 @@ def test_infer_cli_demo(user_wav, tmp_path, capsys):
     assert "agent_text:" in captured and "agent_units:" in captured
 
 
-def test_serve_http_roundtrip(user_wav):
+def test_serve_http_concurrent_paged(user_wav):
+    """Serving rides the continuous-batching engine: two simultaneous POSTs
+    both complete (no global request lock), sampling params via query."""
     from http.server import ThreadingHTTPServer
 
     from usdm_tpu.cli.serve import make_handler
+    from usdm_tpu.core.config import EngineConfig
     from usdm_tpu.pipeline import UsdmPipeline
 
     pipe = UsdmPipeline.tiny_random()
-    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipe, n_timesteps=2))
+    eng_server = pipe.make_server(EngineConfig(
+        page_size=32, max_pages_per_seq=64, max_batch_size=4, prefill_chunk=256))
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(pipe, eng_server, n_timesteps=2))
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -46,10 +52,23 @@ def test_serve_http_roundtrip(user_wav):
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30) as r:
             assert b"usdm-tpu" in r.read()
         body = open(user_wav, "rb").read()
-        req = urllib.request.Request(f"http://127.0.0.1:{port}/respond", data=body, method="POST")
-        with urllib.request.urlopen(req, timeout=600) as r:
-            payload = json.loads(r.read())
-        assert "agent_text" in payload and "n_units" in payload
+
+        results = {}
+
+        def post(name, qs=""):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/respond{qs}", data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                results[name] = json.loads(r.read())
+
+        th1 = threading.Thread(target=post, args=("a",))
+        th2 = threading.Thread(target=post, args=("b", "?top_k=5&temperature=1.2&seed=3"))
+        th1.start()
+        th2.start()
+        th1.join(600)
+        th2.join(600)
+        assert "agent_text" in results["a"] and "n_units" in results["a"]
+        assert "agent_text" in results["b"] and "n_units" in results["b"]
         # garbage body -> clean JSON error, not a crash
         req = urllib.request.Request(f"http://127.0.0.1:{port}/respond", data=b"garbage", method="POST")
         try:
@@ -58,5 +77,29 @@ def test_serve_http_roundtrip(user_wav):
         except urllib.error.HTTPError as e:
             payload = json.loads(e.read())
         assert "error" in payload
+    finally:
+        server.shutdown()
+        eng_server.close()
+
+
+def test_serve_http_dense_fallback(user_wav):
+    """--dense path (server=None) still serves one request at a time."""
+    from http.server import ThreadingHTTPServer
+
+    from usdm_tpu.cli.serve import make_handler
+    from usdm_tpu.pipeline import UsdmPipeline
+
+    pipe = UsdmPipeline.tiny_random()
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(pipe, None, n_timesteps=2))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = open(user_wav, "rb").read()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/respond", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = json.loads(r.read())
+        assert "agent_text" in payload and "n_units" in payload
     finally:
         server.shutdown()

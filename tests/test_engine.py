@@ -138,3 +138,22 @@ def test_prefix_reuse_matches_full_prefill(tiny_lm):
         r_reuse = p_reuse.respond_to_units(units)
     assert r_full.stage_tokens == r_reuse.stage_tokens
     assert r_full.agent_units == r_reuse.agent_units
+
+
+def test_prefix_reuse_near_cache_capacity(tiny_lm):
+    """Regression: when the bucket-padded stage-B/C suffix would write past
+    the cache end, XLA clamps dynamic_update_slice's start and silently
+    corrupts the prefix.  The policy must grow the cache instead (round-1
+    bug: 242-token stage-B prompt + 64-token bucket > 256-entry cache)."""
+    tok, cfg, params = tiny_lm
+    p_full = DialogPolicy(params, cfg, tok, max_new_tokens=12, reuse_prefix=False)
+    # cache barely fits stage A; stages B/C must trigger a clean grow
+    p_tight = DialogPolicy(params, cfg, tok, max_new_tokens=12, reuse_prefix=True,
+                           cache_len=256)
+    units = list(range(12))
+    import jax
+    with jax.default_matmul_precision("highest"):
+        r_full = p_full.respond_to_units(units)
+        r_tight = p_tight.respond_to_units(units)
+    assert r_full.stage_tokens == r_tight.stage_tokens
+    assert r_full.agent_units == r_tight.agent_units

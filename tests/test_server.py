@@ -1,0 +1,108 @@
+"""EngineServer / PagedDialogPolicy concurrency tests (tiny model, CPU)."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from usdm_tpu.core.config import EngineConfig, MistralConfig
+from usdm_tpu.engine.paged import PagedEngine, Request
+from usdm_tpu.engine.server import EngineServer, PagedDialogPolicy
+from usdm_tpu.models import mistral as M
+
+CFG = MistralConfig.tiny(vocab_size=96)
+ECFG = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                    prefill_chunk=32)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_params(CFG, jax.random.PRNGKey(0), dtype="float32")
+
+
+def test_concurrent_generate_matches_solo(params, rng):
+    """N caller threads' outputs must equal their solo-engine runs, and the
+    shared engine must batch them (fewer total steps than the solo sum)."""
+    prompts = [rng.integers(3, 96, size=7 + i).tolist() for i in range(4)]
+    allow = np.ones(CFG.vocab_size, bool)
+
+    with jax.default_matmul_precision("highest"):
+        solo = []
+        solo_steps = 0
+        for prm in prompts:
+            eng = PagedEngine(params, CFG, ECFG)
+            r = Request(0, list(prm), allow, eos_id=1, max_new_tokens=10)
+            eng.run([r])
+            solo.append(r.output_ids)
+            solo_steps += eng.steps
+
+        eng = PagedEngine(params, CFG, ECFG)
+        server = EngineServer(eng)
+        outs = {}
+
+        def call(i):
+            outs[i] = server.generate(prompts[i], allow, eos_id=1, max_new_tokens=10)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+        server.close()
+
+    for i in range(4):
+        assert outs[i] == solo[i], f"prompt {i}: {outs[i]} vs {solo[i]}"
+    assert eng.steps < solo_steps  # continuous batching actually shared steps
+
+
+def test_server_rejects_after_close(params):
+    server = EngineServer(PagedEngine(params, CFG, ECFG))
+    server.close()
+    with pytest.raises(RuntimeError):
+        server.generate([3, 4, 5], np.ones(CFG.vocab_size, bool), 1, 4)
+
+
+def test_paged_dialog_policy_matches_dense(params, rng):
+    """The 3-stage chain through the shared engine must equal the dense
+    DialogPolicy's greedy outputs (same templates, same masks)."""
+    from usdm_tpu.core.tokenizer import UsdmTokenizer
+    from usdm_tpu.engine.dialog import DialogPolicy
+
+    tok = UsdmTokenizer.build_test(num_units=32)
+    cfg = MistralConfig.tiny(vocab_size=tok.vocab_size)
+    prm = M.init_params(cfg, jax.random.PRNGKey(1), dtype="float32")
+    units = rng.integers(0, 32, size=12).tolist()
+
+    with jax.default_matmul_precision("highest"):
+        dense = DialogPolicy(prm, cfg, tok, max_new_tokens=12,
+                             attn_impl="xla").respond_to_units(units)
+        server = EngineServer(PagedEngine(prm, cfg, EngineConfig(
+            page_size=32, max_pages_per_seq=32, max_batch_size=2,
+            prefill_chunk=64)))
+        paged = PagedDialogPolicy(server, tok, max_new_tokens=12).respond_to_units(units)
+        server.close()
+
+    assert paged.stage_tokens == dense.stage_tokens
+    assert paged.user_text == dense.user_text
+    assert paged.agent_text == dense.agent_text
+    assert paged.agent_units == dense.agent_units
+
+
+def test_stage_budget_from_tokenizer_metadata(params):
+    """Per-stage max tokens derive from tokenizer.model_max_length clipped to
+    the engine page capacity (reference inference_vllm.py:113)."""
+    from usdm_tpu.core.tokenizer import UsdmTokenizer
+
+    tok = UsdmTokenizer.build_test(num_units=32)
+    tok.model_max_length = 64
+    server = EngineServer(PagedEngine(params, CFG, ECFG))
+    pol = PagedDialogPolicy(server, tok)
+    assert pol._budget(10) == 64 - 10 - 1
+    # page capacity caps it: 8 pages * 16 = 128
+    tok.model_max_length = 100000
+    assert pol._budget(10) == 128 - 10 - 1
+    # explicit max_new_tokens wins when smaller
+    pol2 = PagedDialogPolicy(server, tok, max_new_tokens=5)
+    assert pol2._budget(10) == 5
+    server.close()

@@ -54,9 +54,12 @@ def main() -> int:
 
     @st.cache_resource
     def load():
-        return _build_pipeline(args)
+        pipe = _build_pipeline(args)
+        # serve through the continuous-batching engine, like the reference
+        # demo serves through vLLM (streamlit_demo.py:64)
+        return pipe, pipe.make_server()
 
-    pipe = load()
+    pipe, engine_server = load()
 
     user_file = st.file_uploader("User speech (wav)", type=["wav"])
     ref_file = st.file_uploader("Reference speaker audio (optional)", type=["wav"])
@@ -78,11 +81,17 @@ def main() -> int:
                 f.write(ref_file.read())
                 ref_path = f.name
 
+        from usdm_tpu.engine.server import PagedDialogPolicy
+
+        policy = PagedDialogPolicy(
+            engine_server, pipe.tokenizer, max_new_tokens=pipe.max_new_tokens,
+            top_k=int(top_k), top_p=float(top_p),
+            temperature=float(temperature), seed=int(seed),
+        )
         with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as out:
-            result = pipe.respond(user_path, out.name, ref_path,
-                                  n_timesteps=int(n_steps), seed=int(seed),
-                                  top_k=int(top_k), top_p=float(top_p),
-                                  temperature=float(temperature))
+            result = pipe.respond_with_policy(policy, user_path, out.name,
+                                              ref_path, n_timesteps=int(n_steps),
+                                              seed=int(seed))
             st.markdown(f"**User said:** {result.user_text}")
             st.markdown(f"**Agent:** {result.agent_text}")
             if result.agent_units:

@@ -1,12 +1,16 @@
-"""Dependency-free HTTP serving demo (stdlib http.server).
+"""Dependency-free concurrent HTTP serving (stdlib http.server).
 
 A minimal web UI + JSON API over the full speech-to-speech pipeline — the
 zero-dependency sibling of the streamlit demo (reference
-/root/reference/src/streamlit_demo.py).  Endpoints:
+/root/reference/src/streamlit_demo.py).  LLM decoding goes through the
+continuous-batching PagedEngine (the reference serves through vLLM,
+streamlit_demo.py:64): concurrent requests interleave their 3-stage decodes
+on one chip instead of queuing behind a lock.  Endpoints:
 
   GET  /           upload page
   POST /respond    multipart or raw wav body -> JSON {user_text, agent_text,
-                   n_units} + X-Audio-Path header; ?audio=1 returns the wav
+                   n_units} + audio path; ?audio=1 returns the wav.
+                   Query params: top_k, top_p, temperature, seed, n_timesteps
   GET  /health     liveness probe
 
 Usage:
@@ -18,12 +22,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import sys
 import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 _PAGE = b"""<!doctype html>
 <title>usdm-tpu demo</title>
@@ -35,8 +39,23 @@ _PAGE = b"""<!doctype html>
 """
 
 
-def make_handler(pipe, n_timesteps: int):
-    lock = threading.Lock()
+def _qnum(q, name, cast, default):
+    try:
+        return cast(q[name][0])
+    except (KeyError, ValueError, IndexError):
+        return default
+
+
+def make_handler(pipe, server, n_timesteps: int):
+    """`server` is an EngineServer (paged, concurrent) or None (dense path:
+    one request at a time behind a lock — kept for --dense debugging)."""
+    from usdm_tpu.engine.server import PagedDialogPolicy
+
+    dense_lock = threading.Lock()
+    # XLS-R / Voicebox+BigVGAN are their own jitted programs; serialize each
+    # so concurrent turns can't double their HBM workspaces on one chip.
+    xlsr_lock = threading.Lock()
+    synth_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
@@ -54,10 +73,12 @@ def make_handler(pipe, n_timesteps: int):
             self.wfile.write(_PAGE)
 
         def do_POST(self):
-            if not self.path.startswith("/respond"):
+            url = urlparse(self.path)
+            if url.path != "/respond":
                 self.send_response(404)
                 self.end_headers()
                 return
+            q = parse_qs(url.query)
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
@@ -78,9 +99,46 @@ def make_handler(pipe, n_timesteps: int):
                 in_path = f.name
             out_path = in_path + ".out.wav"
 
+            steps = _qnum(q, "n_timesteps", int, n_timesteps)
+            seed = _qnum(q, "seed", int, 0)
             try:
-                with lock:  # one TPU, one request at a time
-                    result = pipe.respond(in_path, out_path, None, n_timesteps=n_timesteps)
+                if server is not None:
+                    policy = PagedDialogPolicy(
+                        server, pipe.tokenizer,
+                        max_new_tokens=pipe.max_new_tokens,
+                        top_k=_qnum(q, "top_k", int, 1),
+                        top_p=_qnum(q, "top_p", float, 1.0),
+                        temperature=_qnum(q, "temperature", float, 1.0),
+                        seed=seed,
+                    )
+                    # LLM stages continuous-batch across threads; unit
+                    # extraction and synthesis serialize on their locks.
+                    from usdm_tpu.audio.wav import load_wav
+
+                    wav, _ = load_wav(in_path, sr=pipe.xlsr_cfg.sample_rate)
+                    with xlsr_lock:
+                        units = pipe.extract_units(wav)
+                    result = policy.respond_to_units(units)
+                    if result.agent_units:
+                        import jax
+
+                        with synth_lock:
+                            audio = pipe.decoder.synthesize(
+                                result.agent_units, jax.random.PRNGKey(seed),
+                                reference=None, n_timesteps=steps,
+                            )
+                        from usdm_tpu.audio.wav import write_wav
+
+                        write_wav(out_path, audio, pipe.decoder.mel_cfg.sampling_rate)
+                else:
+                    with dense_lock:  # --dense: one request at a time
+                        result = pipe.respond(
+                            in_path, out_path, None, n_timesteps=steps,
+                            seed=seed,
+                            top_k=_qnum(q, "top_k", int, 1),
+                            top_p=_qnum(q, "top_p", float, 1.0),
+                            temperature=_qnum(q, "temperature", float, 1.0),
+                        )
             except Exception as e:  # noqa: BLE001
                 self.send_response(500)
                 self.send_header("Content-Type", "application/json")
@@ -88,15 +146,15 @@ def make_handler(pipe, n_timesteps: int):
                 self.wfile.write(json.dumps({"error": str(e)}).encode())
                 return
 
-            if "audio=1" in self.path and result.agent_units:
+            if "audio=1" in (url.query or "") and result.agent_units:
                 with open(out_path, "rb") as f:
-                    audio = f.read()
+                    audio_bytes = f.read()
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("X-User-Text", result.user_text[:512])
                 self.send_header("X-Agent-Text", result.agent_text[:512])
                 self.end_headers()
-                self.wfile.write(audio)
+                self.wfile.write(audio_bytes)
             else:
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -122,8 +180,15 @@ def main(argv=None) -> int:
     p.add_argument("--tokenizer_dir")
     p.add_argument("--n_timesteps", type=int, default=15)
     p.add_argument("--demo", action="store_true")
+    p.add_argument("--dense", action="store_true",
+                   help="serve on the dense single-request path instead of the engine")
+    p.add_argument("--page_size", type=int, default=256)
+    p.add_argument("--max_pages_per_seq", type=int, default=32)
+    p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--prefill_chunk", type=int, default=256)
     args = p.parse_args(argv)
 
+    from usdm_tpu.core.config import EngineConfig
     from usdm_tpu.pipeline import UsdmPipeline
 
     if args.demo:
@@ -134,12 +199,27 @@ def main(argv=None) -> int:
             args.voicebox_dir, args.bigvgan_dir, args.tokenizer_dir,
         )
 
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(pipe, args.n_timesteps))
-    print(f"serving on :{args.port} (demo={args.demo})")
+    server = None
+    if not args.dense:
+        server = pipe.make_server(EngineConfig(
+            page_size=args.page_size,
+            max_pages_per_seq=args.max_pages_per_seq,
+            max_batch_size=args.max_batch_size,
+            prefill_chunk=args.prefill_chunk,
+        ))
+
+    httpd = ThreadingHTTPServer(
+        ("0.0.0.0", args.port), make_handler(pipe, server, args.n_timesteps)
+    )
+    print(f"serving on :{args.port} (demo={args.demo}, "
+          f"engine={'paged' if server else 'dense'})")
     try:
-        server.serve_forever()
+        httpd.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        if server is not None:
+            server.close()
     return 0
 
 

@@ -25,10 +25,20 @@ _METASPACE = "▁"  # ▁
 
 
 class UsdmTokenizer:
-    def __init__(self, tok: Tokenizer, ts: TokenSpace, add_bos: bool = True):
+    def __init__(
+        self,
+        tok: Tokenizer,
+        ts: TokenSpace,
+        add_bos: bool = True,
+        model_max_length: int = 8192,
+    ):
         self._tok = tok
         self.ts = ts
         self.add_bos = add_bos
+        # per-stage decode budget for serving (reference threads
+        # tokenizer.model_max_length into vLLM SamplingParams.max_tokens,
+        # inference_vllm.py:113)
+        self.model_max_length = model_max_length
 
     # ------------------------------------------------------------------ load
     @classmethod
@@ -36,6 +46,13 @@ class UsdmTokenizer:
         """Load tokenizer.json from a directory or file and extend the vocab."""
         if os.path.isdir(path):
             path = os.path.join(path, "tokenizer.json")
+        model_max_length = 8192
+        cfg_path = os.path.join(os.path.dirname(path), "tokenizer_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                mml = json.load(f).get("model_max_length")
+            if isinstance(mml, (int, float)) and 0 < mml < 1e9:  # HF sentinel ~1e30
+                model_max_length = int(mml)
         tok = Tokenizer.from_file(path)
         base = tok.get_vocab_size()
         specials = ["<|continue|>", "<|correspond|>"]
@@ -58,7 +75,7 @@ class UsdmTokenizer:
             space_id=space_id if space_id is not None else 28705,
             newline_id=nl,
         )
-        return cls(tok, ts)
+        return cls(tok, ts, model_max_length=model_max_length)
 
     # ------------------------------------------------------------- test build
     @classmethod

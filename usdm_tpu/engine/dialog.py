@@ -65,6 +65,42 @@ class DialogResult:
     stage_tokens: dict
 
 
+def run_dialog(tok: UsdmTokenizer, run_stage, user_units: List[int]) -> DialogResult:
+    """The 3-stage chain-of-modality template/decode/post-process flow.
+
+    `run_stage(stage, prompt) -> List[int]` supplies the decode backend —
+    the dense prefix-reuse loop (DialogPolicy) or the continuous-batching
+    paged engine (engine.server.PagedDialogPolicy).  Templating and
+    post-processing reproduce inference.py:48-89 exactly.
+    """
+    user_unit_str = units_to_string(user_units)
+
+    # Stage A: unit2text (ASR)
+    out_a = run_stage(STAGE_UNIT2TEXT, default_template(user_unit_str))
+    text_a = tok.decode(out_a)
+    user_text = strip_exact_multiple(text_a.split("<|correspond|>")[-1], ["\n", " "])
+
+    # Stage B: text2text (response)
+    out_b = run_stage(STAGE_TEXT2TEXT, default_template(user_unit_str, user_text=user_text))
+    text_b = tok.decode(out_b)
+    agent_text = strip_exact_multiple(text_b.split("\n")[-1], ["\n", " ", "<|correspond|>"])
+
+    # Stage C: text2unit (TTS in token space)
+    out_c = run_stage(
+        STAGE_TEXT2UNIT,
+        default_template(user_unit_str, user_text=user_text, agent_text=agent_text),
+    )
+    text_c = tok.decode(out_c)
+    agent_units = parse_units(text_c.split("<|correspond|>")[-1])
+
+    return DialogResult(
+        user_text=user_text,
+        agent_text=agent_text,
+        agent_units=agent_units,
+        stage_tokens={"unit2text": out_a, "text2text": out_b, "text2unit": out_c},
+    )
+
+
 class DialogPolicy:
     """Drives the 3-stage decode against a params/config pair."""
 
@@ -139,22 +175,32 @@ class DialogPolicy:
 
     def _run_stage_cached(self, stage: str, ids: List[int], max_new: Optional[int] = None) -> List[int]:
         """Stage decode reusing the cached common prompt prefix."""
-        required = len(ids) + (max_new or self.max_new_tokens) + 1
-        if required > self.cache_len:
-            # grow to the next 512 bucket; the old prefix is discarded
-            self.cache_len = -(-required // 512) * 512
-            self._cache = None
-            self._cached_ids = []
         common = 0
         if self._cache is not None:
             limit = min(len(self._cached_ids), len(ids))
             while common < limit and self._cached_ids[common] == ids[common]:
                 common += 1
+        suffix = ids[common:]
+        bucket = max(64, -(-len(suffix) // 64) * 64)
+        # capacity must cover the BUCKET-PADDED suffix write: prefill_extend's
+        # dynamic_update_slice would otherwise clamp its start index and
+        # silently corrupt the cached prefix (XLA clamps OOB update offsets).
+        budget = (max_new or self.max_new_tokens) + 1
+        required = common + bucket + budget
+        fresh_required = max(64, -(-len(ids) // 64) * 64) + budget
+        if required > self.cache_len:
+            # grow to the next 512 bucket; the old prefix is discarded
+            self.cache_len = -(-max(required, fresh_required) // 512) * 512
+            self._cache = None
+            self._cached_ids = []
+            common = 0
+            suffix = ids
+            bucket = max(64, -(-len(suffix) // 64) * 64)
         if self._cache is None or common == 0:
             self._cache = M.KVCache.create(self.cfg, 1, self.cache_len)
             common = 0
-        suffix = ids[common:]
-        bucket = max(64, -(-len(suffix) // 64) * 64)
+            suffix = ids
+            bucket = max(64, -(-len(suffix) // 64) * 64)
         padded = np.full((1, bucket), self.ts.pad_id, np.int32)
         padded[0, : len(suffix)] = suffix
         # roll the cache back to the shared prefix, then extend with the suffix
@@ -176,31 +222,6 @@ class DialogPolicy:
         return np.asarray(tokens[0, :n]).tolist()
 
     def respond_to_units(self, user_units: List[int]) -> DialogResult:
-        user_unit_str = units_to_string(user_units)
         self._cache = None  # fresh conversation
         self._cached_ids = []
-
-        # Stage A: unit2text (ASR)
-        out_a = self._run_stage(STAGE_UNIT2TEXT, default_template(user_unit_str))
-        text_a = self.tok.decode(out_a)
-        user_text = strip_exact_multiple(text_a.split("<|correspond|>")[-1], ["\n", " "])
-
-        # Stage B: text2text (response)
-        out_b = self._run_stage(STAGE_TEXT2TEXT, default_template(user_unit_str, user_text=user_text))
-        text_b = self.tok.decode(out_b)
-        agent_text = strip_exact_multiple(text_b.split("\n")[-1], ["\n", " ", "<|correspond|>"])
-
-        # Stage C: text2unit (TTS in token space)
-        out_c = self._run_stage(
-            STAGE_TEXT2UNIT,
-            default_template(user_unit_str, user_text=user_text, agent_text=agent_text),
-        )
-        text_c = self.tok.decode(out_c)
-        agent_units = parse_units(text_c.split("<|correspond|>")[-1])
-
-        return DialogResult(
-            user_text=user_text,
-            agent_text=agent_text,
-            agent_units=agent_units,
-            stage_tokens={"unit2text": out_a, "text2text": out_b, "text2unit": out_c},
-        )
+        return run_dialog(self.tok, self._run_stage, user_units)

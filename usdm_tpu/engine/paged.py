@@ -272,6 +272,8 @@ class Request:
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
+    error: Optional[str] = None  # set instead of raising (scheduler runs on a
+    # background thread in EngineServer; an exception there would hang callers)
 
     @property
     def sampled(self) -> bool:
@@ -356,10 +358,14 @@ class PagedEngine:
             req = self.waiting[i]
             need = self._pages_needed(len(req.prompt_ids) + req.max_new_tokens)
             if need > self.ecfg.max_pages_per_seq:
-                raise ValueError(
-                    f"request {req.req_id} needs {need} pages > "
+                # can never fit: fail it instead of wedging the queue
+                req.error = (
+                    f"request needs {need} pages > "
                     f"max_pages_per_seq={self.ecfg.max_pages_per_seq}"
                 )
+                req.finished = True
+                self.waiting.pop(i)
+                continue
             if need > len(self.free_pages):
                 i += 1
                 continue

@@ -97,6 +97,21 @@ class UsdmPipeline:
         )
         return np.asarray(units)[0, : int(ulen[0])].tolist()
 
+    def make_server(self, ecfg=None):
+        """Spin up the continuous-batching serving engine over the LM.
+
+        Returns an `EngineServer` (background step-loop thread); build one
+        `PagedDialogPolicy` per conversation on top of it.  This is the
+        concurrent serving path (reference: vLLM engine in
+        streamlit_demo.py:64) — `respond()` below is the single-caller
+        prefix-reuse path."""
+        from usdm_tpu.core.config import EngineConfig
+        from usdm_tpu.engine.paged import PagedEngine
+        from usdm_tpu.engine.server import EngineServer
+
+        return EngineServer(PagedEngine(self.lm_params, self.lm_cfg,
+                                        ecfg or EngineConfig()))
+
     def respond(
         self,
         input_path: str,
@@ -112,13 +127,28 @@ class UsdmPipeline:
         `output_path` is given and returns the intermediate text/units.
         Sampling defaults to greedy like the reference (inference.py:64-82);
         the demo exposes top_k/top_p/temperature (streamlit_demo.py:195-205)."""
-        wav, _ = load_wav(input_path, sr=self.xlsr_cfg.sample_rate)
-        user_units = self.extract_units(wav)
-
         policy = DialogPolicy(self.lm_params, self.lm_cfg, self.tokenizer,
                               max_new_tokens=self.max_new_tokens,
                               top_k=top_k, top_p=top_p, temperature=temperature,
                               seed=seed)
+        return self.respond_with_policy(
+            policy, input_path, output_path, reference_path, n_timesteps, seed
+        )
+
+    def respond_with_policy(
+        self,
+        policy,
+        input_path: str,
+        output_path: Optional[str] = None,
+        reference_path: Optional[str] = None,
+        n_timesteps: int = 50,
+        seed: int = 0,
+    ) -> DialogResult:
+        """Speech-to-speech turn with a caller-supplied dialog policy (any
+        object with respond_to_units), e.g. a PagedDialogPolicy sharing a
+        serving engine across conversations."""
+        wav, _ = load_wav(input_path, sr=self.xlsr_cfg.sample_rate)
+        user_units = self.extract_units(wav)
         result = policy.respond_to_units(user_units)
 
         reference = None
