@@ -120,7 +120,9 @@ def paged_decode_step(
 
         g = h // hkv
         qg = q[:, 0].reshape(b, hkv, g, hd)  # heads grouped per kv head
-        if jax.devices()[0].platform == "tpu":
+        # the manual-DMA kernel needs tile-aligned page slices (lane dim 128,
+        # sublane mult of 8); tiny test/demo geometries fall back to XLA gather
+        if jax.devices()[0].platform == "tpu" and hd % 128 == 0 and page_size % 8 == 0:
             from usdm_tpu.ops.paged_attention import paged_decode_attention
 
             attn = paged_decode_attention(

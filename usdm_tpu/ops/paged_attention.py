@@ -1,16 +1,27 @@
 """Pallas TPU paged-attention decode kernel.
 
 The gather-free core of the serving engine: single-token queries attend to a
-sequence's KV pages directly from the HBM page pool, selected per grid step by
-a scalar-prefetched page table (no [B, S, ...] gather materialization — the
-TPU equivalent of vLLM's PagedAttention CUDA kernel, reference
+sequence's KV pages directly from the HBM page pool — the TPU equivalent of
+vLLM's PagedAttention CUDA kernel (reference
 /root/reference/src/inference_vllm.py:109).
 
+Design (round 2, bandwidth-first): grid (B,); each grid step owns one slot
+and streams that sequence's pages HBM->VMEM with explicit double-buffered
+async DMA, `block_pages` pages per compute block, all kv heads at once:
+
+  * pages are scattered, so BlockSpec pipelining can't batch them — the
+    kernel issues one async copy per page (a strided [Hkv, P, d] slice of the
+    pool) and overlaps block i+1's copies with block i's flash update.  The
+    round-1 kernel pushed one page per (slot, page) grid step through the
+    implicit pipeline and paid ~6 us of fixed cost per step; this kernel
+    amortizes that over whole sequences.
+  * online-softmax state lives in loop carries ([Hkv, G, ...]), one batched
+    dot per block — no per-head unrolled small ops.
+  * sliding windows skip whole page-blocks below the window before any DMA.
+
 Layout: q [B, Hkv, G, d] (queries grouped by kv head), page pool
-[N, P, Hkv, d].  Grid (B, Hkv, max_pages); the innermost page dimension
-revisits the same output block, so online-softmax state lives in VMEM scratch.
-The page table feeds BlockSpec index maps via PrefetchScalarGridSpec, so the
-next page's DMA is issued while the current one computes.
+[Hkv, N, P, d] (page slices stay DMA-contiguous per head; one descriptor
+moves all heads of a page).
 """
 
 from __future__ import annotations
@@ -25,7 +36,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-_LANES = 128
 
 
 def _decode_kernel(
@@ -33,78 +43,125 @@ def _decode_kernel(
     page_table_ref,  # [B, maxp] int32
     seq_lens_ref,  # [B] int32 (valid kv count per slot)
     # blocks
-    q_ref,  # [1, Hkv, G, d]   (whole slot)
-    k_ref,  # [Hkv, 1, P, d]   (one page, all kv heads; selected by index_map)
-    v_ref,  # [Hkv, 1, P, d]
+    q_ref,  # [1, Hkv, G, d]  (this slot's queries)
+    k_hbm,  # [Hkv, N, P, d] page pool, stays in HBM
+    v_hbm,  # [Hkv, N, P, d]
     o_ref,  # [1, Hkv, G, d]
-    m_scr,  # [Hkv*G, LANES]
-    l_scr,  # [Hkv*G, LANES]
-    acc_scr,  # [Hkv*G, d]
+    # scratch
+    k_buf,  # [2, Hkv, BLK, P, d] VMEM double buffer
+    v_buf,  # [2, Hkv, BLK, P, d]
+    k_sem,  # [2, BLK] DMA semaphores
+    v_sem,  # [2, BLK]
     *,
     scale: float,
     page_size: int,
     window: Optional[int],
-    n_kv_heads: int,
+    block_pages: int,
+    max_pages: int,
 ):
-    b = pl.program_id(0)
-    p = pl.program_id(1)
-    np_ = pl.num_programs(1)
+    bi = pl.program_id(0)
+    kv_len = seq_lens_ref[bi]
+    hkv, g, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    blk_tok = block_pages * page_size
 
-    @pl.when(p == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    last_page = (kv_len - 1) // page_size
+    if window is None:
+        first_page = jnp.int32(0)
+    else:
+        first_page = jnp.maximum(kv_len - 1 - window, 0) // page_size
+    first_blk = first_page // block_pages
+    last_blk = last_page // block_pages
+    n_blks = last_blk - first_blk + 1
 
-    kv_len = seq_lens_ref[b]
-    page_start = p * page_size
+    def page_dmas(slot, blk, j):
+        """The j-th page copy of absolute block `blk` into buffer `slot`:
+        one strided descriptor moves the page for every kv head."""
+        pg = blk * block_pages + j
+        pid = page_table_ref[bi, jnp.clip(pg, 0, max_pages - 1)]
+        kd = pltpu.make_async_copy(
+            k_hbm.at[:, pid], k_buf.at[slot, :, j], k_sem.at[slot, j]
+        )
+        vd = pltpu.make_async_copy(
+            v_hbm.at[:, pid], v_buf.at[slot, :, j], v_sem.at[slot, j]
+        )
+        in_range = jnp.logical_and(pg >= first_page, pg <= last_page)
+        return kd, vd, in_range
 
-    run = page_start < kv_len
-    if window is not None:
-        # query position is kv_len - 1; skip pages entirely below the window
-        run = jnp.logical_and(run, page_start + page_size - 1 >= kv_len - 1 - window)
+    def start_block(slot, blk):
+        for j in range(block_pages):  # static unroll
+            kd, vd, in_range = page_dmas(slot, blk, j)
 
-    @pl.when(run)
-    def _compute():
-        g = q_ref.shape[2]
-        kv_pos = page_start + jax.lax.broadcasted_iota(jnp.int32, (1, page_size), 1)
-        mask = kv_pos < kv_len
+            @pl.when(in_range)
+            def _():
+                kd.start()
+                vd.start()
+
+            @pl.when(jnp.logical_not(in_range))
+            def _():
+                # out-of-range pages are never copied: stale VMEM could hold
+                # NaN bit patterns, and 0 * NaN = NaN survives the pv matmul
+                # even under the probability mask — zero them.
+                k_buf[slot, :, j] = jnp.zeros_like(k_buf[slot, :, j])
+                v_buf[slot, :, j] = jnp.zeros_like(v_buf[slot, :, j])
+
+    def wait_block(slot, blk):
+        for j in range(block_pages):
+            kd, vd, in_range = page_dmas(slot, blk, j)
+
+            @pl.when(in_range)
+            def _():
+                kd.wait()
+                vd.wait()
+
+    start_block(0, first_blk)
+
+    qv = q_ref[0]  # [Hkv, G, d]
+
+    def body(i, carry):
+        m, l, acc = carry
+        blk = first_blk + i
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_blks)
+        def _():
+            start_block(1 - slot, blk + 1)
+
+        wait_block(slot, blk)
+
+        k = k_buf[slot].reshape(hkv, blk_tok, d)  # [Hkv, T, d]
+        v = v_buf[slot].reshape(hkv, blk_tok, d)
+        # batched over kv heads: [Hkv, G, d] x [Hkv, T, d] -> [Hkv, G, T]
+        s = jax.lax.dot_general(
+            qv, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
+
+        kv_pos = blk * blk_tok + jax.lax.broadcasted_iota(jnp.int32, (1, 1, blk_tok), 2)
+        valid = kv_pos < kv_len
         if window is not None:
-            mask = jnp.logical_and(mask, (kv_len - 1) - kv_pos <= window)
+            valid = jnp.logical_and(valid, (kv_len - 1) - kv_pos <= window)
+        # mask BEFORE any softmax math: out-of-range pages leave stale VMEM
+        # whose dot products may be non-finite
+        s = jnp.where(valid, s, NEG_INF)
 
-        for h in range(n_kv_heads):  # static unroll over kv heads
-            q = q_ref[0, h]  # [G, d]
-            k = k_ref[h, 0]  # [P, d]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale  # [G, P]
-            s = jnp.where(mask, s, NEG_INF)
+        m_cur = jnp.max(s, axis=2, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_new)
+        pexp = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        l_new = alpha * l + jnp.sum(pexp, axis=2, keepdims=True)
+        # [Hkv, G, T] x [Hkv, T, d] -> [Hkv, G, d]
+        pv = jax.lax.dot_general(
+            pexp.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
 
-            row = slice(h * g, (h + 1) * g)
-            m_prev = m_scr[row, :1]
-            l_prev = l_scr[row, :1]
-            m_cur = jnp.max(s, axis=1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            pexp = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-            l_new = alpha * l_prev + jnp.sum(pexp, axis=1, keepdims=True)
+    m0 = jnp.full((hkv, g, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((hkv, g, 1), jnp.float32)
+    acc0 = jnp.zeros((hkv, g, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, n_blks, body, (m0, l0, acc0))
 
-            v = v_ref[h, 0]  # [P, d]
-            pv = jax.lax.dot_general(
-                pexp.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_scr[row, :] = acc_scr[row, :] * alpha + pv
-            m_scr[row, :] = jnp.broadcast_to(m_new, (g, m_scr.shape[1]))
-            l_scr[row, :] = jnp.broadcast_to(l_new, (g, l_scr.shape[1]))
-
-    @pl.when(p == np_ - 1)
-    def _finalize():
-        g = q_ref.shape[2]
-        l = l_scr[:, :1]
-        safe = jnp.where(l > 0.0, l, 1.0)
-        out = (acc_scr[...] / safe).astype(o_ref.dtype)  # [Hkv*G, d]
-        o_ref[0] = out.reshape(n_kv_heads, g, out.shape[-1])
+    safe = jnp.where(l > 0.0, l, 1.0)
+    o_ref[0] = (acc / safe).astype(o_ref.dtype)
 
 
 def paged_decode_attention(
@@ -115,46 +172,40 @@ def paged_decode_attention(
     seq_lens: jnp.ndarray,  # [B] int32 valid kv count (incl. current token)
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
+    block_pages: int = 4,
 ) -> jnp.ndarray:
     """-> [B, Hkv, G, d] attention outputs.
 
-    Page-pool layout is [Hkv, N, P, d] (kv-head major) so each grid step's
-    block keeps (P, d) as the trailing tile-aligned dims."""
+    `block_pages` pages are DMA'd per compute block (double-buffered); the
+    tail block's out-of-range pages are neither copied nor unmasked."""
     b, hkv, g, d = q.shape
     _, n, p, _ = k_pages.shape
     maxp = page_table.shape[1]
     scale = d**-0.5 if scale is None else scale
+    # double buffers (k+v) must fit the ~16 MB VMEM alongside q/out blocks:
+    # 2 slots * 2 arrays * Hkv * BLK * P * d * itemsize <= ~10 MB
+    per_block = 4 * hkv * p * d * k_pages.dtype.itemsize
+    block_pages = max(1, min(block_pages, maxp, (10 << 20) // per_block))
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=p, window=sliding_window,
-        n_kv_heads=hkv,
+        block_pages=block_pages, max_pages=maxp,
     )
-
-    def kv_index(bi, pi, pt, sl):
-        # clamp out-of-range steps to the nearest in-range page: Pallas skips
-        # the DMA when a block index repeats, so pages outside
-        # [first_window_page, last_page] cost nothing.
-        last = jnp.maximum(sl[bi] - 1, 0) // p
-        if sliding_window is not None:
-            first = jnp.maximum(sl[bi] - 1 - sliding_window, 0) // p
-        else:
-            first = 0
-        pi_c = jnp.clip(pi, first, last)
-        return (0, pt[bi, pi_c], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, maxp),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hkv, g, d), lambda bi, pi, pt, sl: (bi, 0, 0, 0)),
-            pl.BlockSpec((hkv, 1, p, d), kv_index),
-            pl.BlockSpec((hkv, 1, p, d), kv_index),
+            pl.BlockSpec((1, hkv, g, d), lambda bi, pt, sl: (bi, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
-        out_specs=pl.BlockSpec((1, hkv, g, d), lambda bi, pi, pt, sl: (bi, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda bi, pt, sl: (bi, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((hkv * g, _LANES), jnp.float32),
-            pltpu.VMEM((hkv * g, _LANES), jnp.float32),
-            pltpu.VMEM((hkv * g, d), jnp.float32),
+            pltpu.VMEM((2, hkv, block_pages, p, d), k_pages.dtype),
+            pltpu.VMEM((2, hkv, block_pages, p, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, block_pages)),
+            pltpu.SemaphoreType.DMA((2, block_pages)),
         ],
     )
     return pl.pallas_call(
