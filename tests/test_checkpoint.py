@@ -157,3 +157,92 @@ def test_load_xlsr_hf_dir(tmp_path, rng):
     units, ulen = X.extract_units(params, loaded_cfg, wav, output_layer=loaded_cfg.num_layers)
     u = np.asarray(units)[0, : int(ulen[0])]
     assert (u >= 0).all() and (u < cfg.num_clusters).all()
+
+
+def _hf_to_fairseq2_names(state):
+    """Rename an HF Wav2Vec2Model state dict to the fairseq2 xlsr2_1b_v2
+    layout (same tensors, fairseq2 names)."""
+    import re
+
+    out = {}
+    for k, v in state.items():
+        n = k
+        n = n.replace("feature_extractor.conv_layers.",
+                      "encoder_frontend.feature_extractor.layers.")
+        n = n.replace("feature_projection.layer_norm.",
+                      "encoder_frontend.post_extract_layer_norm.")
+        n = n.replace("feature_projection.projection.",
+                      "encoder_frontend.model_dim_proj.")
+        n = n.replace("encoder.pos_conv_embed.conv.",
+                      "encoder_frontend.pos_encoder.conv.")
+        n = re.sub(r"encoder\.layers\.(\d+)\.attention\.out_proj\.",
+                   r"encoder.layers.\1.self_attn.output_proj.", n)
+        n = re.sub(r"encoder\.layers\.(\d+)\.attention\.",
+                   r"encoder.layers.\1.self_attn.", n)
+        n = re.sub(r"encoder\.layers\.(\d+)\.layer_norm\.",
+                   r"encoder.layers.\1.self_attn_layer_norm.", n)
+        n = re.sub(r"encoder\.layers\.(\d+)\.final_layer_norm\.",
+                   r"encoder.layers.\1.ffn_layer_norm.", n)
+        n = re.sub(r"encoder\.layers\.(\d+)\.feed_forward\.intermediate_dense\.",
+                   r"encoder.layers.\1.ffn.inner_proj.", n)
+        n = re.sub(r"encoder\.layers\.(\d+)\.feed_forward\.output_dense\.",
+                   r"encoder.layers.\1.ffn.output_proj.", n)
+        out[n] = v
+    return out
+
+
+def test_load_xlsr_fairseq2_checkpoint(tmp_path, rng):
+    """The fairseq2 xlsr2_1b_v2 layout (the reference's actual tokenizer
+    artifact, inference.py:111-113) must load and produce params identical to
+    the HF-layout conversion of the same tensors."""
+    from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+    from usdm_tpu.core.config import XlsrConfig
+    from usdm_tpu.models import xlsr as X
+
+    cfg = XlsrConfig.tiny()
+    hf_cfg = Wav2Vec2Config(
+        vocab_size=32, hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, intermediate_size=cfg.intermediate_size,
+        conv_dim=[cfg.conv_channels] * len(cfg.conv_kernels),
+        conv_kernel=list(cfg.conv_kernels), conv_stride=list(cfg.conv_strides),
+        conv_bias=True, feat_extract_norm="layer", do_stable_layer_norm=True,
+        num_conv_pos_embeddings=cfg.conv_pos_width,
+        num_conv_pos_embedding_groups=cfg.conv_pos_groups,
+        apply_spec_augment=False,
+    )
+    torch.manual_seed(1)
+    model = Wav2Vec2Model(hf_cfg).eval()
+    hf_state = {k: v.numpy() for k, v in model.state_dict().items()}
+    p_hf = X.convert_hf_state_dict(hf_state, cfg)
+
+    fs2 = _hf_to_fairseq2_names(hf_state)
+    # fairseq2 checkpoints also carry pretraining-only tensors: must be ignored
+    fs2["masker.temporal_mask_embed"] = np.zeros(cfg.hidden_size, np.float32)
+    fs2["quantizer.entries"] = np.zeros((4, 8), np.float32)
+    fs2["final_proj.weight"] = np.zeros((8, cfg.hidden_size), np.float32)
+    p_fs2 = X.convert_fairseq2_state_dict(fs2, cfg)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        p_hf, p_fs2,
+    )
+
+    # and through the file loader, with the {"model": ...} wrapper + kmeans
+    pt = {k: torch.from_numpy(np.asarray(v)) for k, v in fs2.items()}
+    torch.save({"model": pt}, tmp_path / "xlsr2_tiny_v2.pt")
+    cents = rng.standard_normal((cfg.num_clusters, cfg.hidden_size)).astype(np.float32)
+    np.save(tmp_path / "kmeans.npy", cents)
+    params, loaded_cfg = ckpt.load_xlsr(
+        str(tmp_path / "xlsr2_tiny_v2.pt"), str(tmp_path / "kmeans.npy"), cfg=cfg
+    )
+    np.testing.assert_array_equal(np.asarray(params["centroids"]), cents)
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"]["wq"]), np.asarray(p_hf["layers"]["wq"])
+    )
+
+    # units from the loaded params are valid
+    wav = jnp.asarray((rng.standard_normal((1, 3200)) * 0.1).astype(np.float32))
+    units, ulen = X.extract_units(params, loaded_cfg, wav, output_layer=loaded_cfg.num_layers)
+    u = np.asarray(units)[0, : int(ulen[0])]
+    assert (u >= 0).all() and (u < cfg.num_clusters).all()

@@ -65,6 +65,8 @@ def _read_torch(path: str) -> Dict[str, np.ndarray]:
         obj = obj["generator"]  # BigVGAN checkpoint wrapper (models.py:228)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
+    if isinstance(obj, dict) and isinstance(obj.get("model"), dict):
+        obj = obj["model"]  # fairseq2 CheckpointManager wrapper (xlsr2_1b_v2.pt)
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in obj.items()}
 
 
@@ -152,27 +154,50 @@ def load_bigvgan(path: str, cfg=None):
 
 
 def load_xlsr(path: str, kmeans_path: Optional[str] = None, cfg=None):
-    """Local HF wav2vec2 XLS-R dir -> (params, XlsrConfig)."""
-    from usdm_tpu.core.config import XlsrConfig
-    from usdm_tpu.models.xlsr import convert_hf_state_dict, load_kmeans
+    """Local XLS-R checkpoint -> (params, XlsrConfig).
 
-    if cfg is None:
-        with open(os.path.join(path, "config.json")) as f:
-            h = json.load(f)
-        cfg = XlsrConfig(
-            conv_channels=h["conv_dim"][0],
-            conv_kernels=tuple(h["conv_kernel"]),
-            conv_strides=tuple(h["conv_stride"]),
-            hidden_size=h["hidden_size"],
-            intermediate_size=h["intermediate_size"],
-            num_heads=h["num_attention_heads"],
-            num_layers=h["num_hidden_layers"],
-            conv_pos_width=h["num_conv_pos_embeddings"],
-            conv_pos_groups=h["num_conv_pos_embedding_groups"],
-        )
+    Accepts BOTH real-world layouts:
+      * an HF `Wav2Vec2Model` directory (config.json + safetensors/bin), or
+      * the fairseq2 `xlsr2_1b_v2` checkpoint the reference actually ships —
+        a torch `.pt` (possibly under a `{"model": ...}` wrapper) with
+        `encoder_frontend.*` / `encoder.layers.*` keys
+        (/root/reference/src/inference.py:111-113, setup.py:49).
+    Detection is by key prefix; fairseq2 checkpoints carry no config, so the
+    fixed xlsr2_1b_v2 geometry (XlsrConfig defaults) applies unless `cfg`
+    overrides it.
+    """
+    from usdm_tpu.core.config import XlsrConfig
+    from usdm_tpu.models.xlsr import (
+        convert_fairseq2_state_dict,
+        convert_hf_state_dict,
+        load_kmeans,
+    )
+
     state = read_state_dict(path)
     state = {k.removeprefix("wav2vec2."): v for k, v in state.items()}
-    params = convert_hf_state_dict(state, cfg)
+    is_fairseq2 = any(k.startswith("encoder_frontend.") for k in state)
+    if cfg is None:
+        cfg_file = os.path.join(path, "config.json") if os.path.isdir(path) else ""
+        if not is_fairseq2 and os.path.exists(cfg_file):
+            with open(cfg_file) as f:
+                h = json.load(f)
+            cfg = XlsrConfig(
+                conv_channels=h["conv_dim"][0],
+                conv_kernels=tuple(h["conv_kernel"]),
+                conv_strides=tuple(h["conv_stride"]),
+                hidden_size=h["hidden_size"],
+                intermediate_size=h["intermediate_size"],
+                num_heads=h["num_attention_heads"],
+                num_layers=h["num_hidden_layers"],
+                conv_pos_width=h["num_conv_pos_embeddings"],
+                conv_pos_groups=h["num_conv_pos_embedding_groups"],
+            )
+        else:
+            cfg = XlsrConfig()  # fairseq2 checkpoints: fixed xlsr2_1b_v2 geometry
+    if is_fairseq2:
+        params = convert_fairseq2_state_dict(state, cfg)
+    else:
+        params = convert_hf_state_dict(state, cfg)
     if kmeans_path:
         params = load_kmeans(params, kmeans_path)
     return params, cfg

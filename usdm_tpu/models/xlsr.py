@@ -317,3 +317,93 @@ def convert_hf_state_dict(state: Dict[str, np.ndarray], cfg: XlsrConfig) -> Para
         },
         "centroids": jnp.zeros((cfg.num_clusters, cfg.hidden_size), jnp.float32),
     }
+
+
+def convert_fairseq2_state_dict(state: Dict[str, np.ndarray], cfg: XlsrConfig) -> Params:
+    """Map a fairseq2 Wav2Vec2Model state dict to our params.
+
+    This is the layout of the actual reference tokenizer weights:
+    seamless_communication's `xlsr2_1b_v2` fairseq2 checkpoint
+    (/root/reference/src/inference.py:111-113, downloaded by setup.py:49).
+    fairseq2 names differ from HF: `encoder_frontend.*` for the conv
+    extractor / projection / positional conv, `self_attn.output_proj` for the
+    attention output, `ffn.inner_proj`/`ffn.output_proj` for the MLP.
+    Pretraining-only tensors (masker/quantizer/final_proj) are ignored.
+    """
+
+    def pick(*names):
+        for n in names:
+            if n in state:
+                return np.asarray(state[n]).astype(np.float32)
+        raise KeyError(
+            f"fairseq2 xlsr: none of {names} found; checkpoint keys look like "
+            + ", ".join(sorted(state)[:8]) + " ..."
+        )
+
+    def lin(base):
+        return jnp.asarray(pick(base + ".weight").T)
+
+    def bias(base):
+        return jnp.asarray(pick(base + ".bias"))
+
+    fe = "encoder_frontend.feature_extractor.layers.{}"
+    convs = []
+    for i in range(len(cfg.conv_kernels)):
+        p = fe.format(i)
+        convs.append({
+            "w": jnp.asarray(pick(p + ".conv.weight").transpose(2, 1, 0)),  # [out,in,K]->[K,in,out]
+            "b": jnp.asarray(pick(p + ".conv.bias")),
+            "ln_w": jnp.asarray(pick(p + ".layer_norm.weight")),
+            "ln_b": jnp.asarray(pick(p + ".layer_norm.bias")),
+        })
+
+    # positional conv: plain weight or weight-norm (g, v) pairs
+    pc = "encoder_frontend.pos_encoder.conv"
+    if pc + ".weight" in state:
+        w = np.asarray(state[pc + ".weight"]).astype(np.float32)
+    else:
+        try:
+            gg = pick(pc + ".weight_g", pc + ".parametrizations.weight.original0")
+            v = pick(pc + ".weight_v", pc + ".parametrizations.weight.original1")
+        except KeyError:
+            raise KeyError(f"fairseq2 xlsr: no positional conv weight under {pc}")
+        norm = np.sqrt((v * v).sum(axis=(0, 1), keepdims=True))
+        w = gg * v / np.maximum(norm, 1e-12)
+
+    L = cfg.num_layers
+    enc = "encoder.layers.{}"
+
+    def stack(fmt_suffix, field="weight", transpose=False):
+        arrs = [pick(enc.format(i) + fmt_suffix + "." + field) for i in range(L)]
+        return jnp.asarray(np.stack([a.T if transpose else a for a in arrs]))
+
+    return {
+        "convs": convs,
+        "feat_ln_w": jnp.asarray(pick("encoder_frontend.post_extract_layer_norm.weight",
+                                      "encoder_frontend.layer_norm.weight")),
+        "feat_ln_b": jnp.asarray(pick("encoder_frontend.post_extract_layer_norm.bias",
+                                      "encoder_frontend.layer_norm.bias")),
+        "proj_w": lin("encoder_frontend.model_dim_proj"),
+        "proj_b": bias("encoder_frontend.model_dim_proj"),
+        "pos_conv_w": jnp.asarray(w.transpose(2, 1, 0)),  # [out, in/g, K] -> [K, in/g, out]
+        "pos_conv_b": jnp.asarray(pick(pc + ".bias")),
+        "layers": {
+            "ln1_w": stack(".self_attn_layer_norm"),
+            "ln1_b": stack(".self_attn_layer_norm", "bias"),
+            "wq": stack(".self_attn.q_proj", transpose=True),
+            "bq": stack(".self_attn.q_proj", "bias"),
+            "wk": stack(".self_attn.k_proj", transpose=True),
+            "bk": stack(".self_attn.k_proj", "bias"),
+            "wv": stack(".self_attn.v_proj", transpose=True),
+            "bv": stack(".self_attn.v_proj", "bias"),
+            "wo": stack(".self_attn.output_proj", transpose=True),
+            "bo": stack(".self_attn.output_proj", "bias"),
+            "ln2_w": stack(".ffn_layer_norm"),
+            "ln2_b": stack(".ffn_layer_norm", "bias"),
+            "ffn_w1": stack(".ffn.inner_proj", transpose=True),
+            "ffn_b1": stack(".ffn.inner_proj", "bias"),
+            "ffn_w2": stack(".ffn.output_proj", transpose=True),
+            "ffn_b2": stack(".ffn.output_proj", "bias"),
+        },
+        "centroids": jnp.zeros((cfg.num_clusters, cfg.hidden_size), jnp.float32),
+    }
