@@ -232,3 +232,31 @@ def test_multi_step_matches_single_step(setup, rng):
         eng8.run(reqs_b)
     for a, b in zip(reqs_a, reqs_b):
         assert a.output_ids == b.output_ids, f"req {a.req_id}: {a.output_ids} vs {b.output_ids}"
+
+
+def test_tp_engine_matches_single_device(setup, rng):
+    """PagedEngine over a tp=2 virtual mesh must emit exactly what the
+    single-device engine emits (greedy + sampled slots), closing SURVEY §2.3
+    TP for the serving path (tiny config has 2 kv heads -> tp=2 max)."""
+    from usdm_tpu.engine.tp import make_tp_mesh
+
+    params = setup
+    mesh = make_tp_mesh(2)
+    prompts = [rng.integers(3, CFG.vocab_size, size=7 + i).tolist() for i in range(3)]
+    allow = np.ones(CFG.vocab_size, bool)
+
+    def mk(i):
+        return Request(i, list(prompts[i]), allow, eos_id=1, max_new_tokens=8,
+                       top_k=(1 if i % 2 else 12), temperature=1.1, seed=i)
+
+    with jax.default_matmul_precision("highest"):
+        eng1 = PagedEngine(params, CFG, ECFG)
+        base = [mk(i) for i in range(3)]
+        eng1.run(base)
+
+        engtp = PagedEngine(params, CFG, ECFG, mesh=mesh)
+        tp_reqs = [mk(i) for i in range(3)]
+        engtp.run(tp_reqs)
+
+    for a, b in zip(base, tp_reqs):
+        assert a.output_ids == b.output_ids, (a.req_id, a.output_ids, b.output_ids)

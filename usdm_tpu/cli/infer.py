@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--int8", action="store_true",
                    help="quantize the LLM to W8A8 int8 (faster decode)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: shard the LM over the first "
+                        "N devices and decode through the paged engine")
     p.add_argument("--demo", action="store_true", help="random tiny pipeline (plumbing check)")
     args = p.parse_args(argv)
 
@@ -55,11 +58,28 @@ def main(argv=None) -> int:
             lm_int8=args.int8,
         )
 
-    result = pipe.respond(
-        args.input_path, args.output_path, args.reference_path,
-        n_timesteps=args.n_timesteps, seed=args.seed,
-        top_k=args.top_k, top_p=args.top_p, temperature=args.temperature,
-    )
+    if args.tp > 1:
+        from usdm_tpu.engine.server import PagedDialogPolicy
+
+        server = pipe.make_server(tp=args.tp)
+        policy = PagedDialogPolicy(
+            server, pipe.tokenizer, max_new_tokens=pipe.max_new_tokens,
+            top_k=args.top_k, top_p=args.top_p,
+            temperature=args.temperature, seed=args.seed,
+        )
+        try:
+            result = pipe.respond_with_policy(
+                policy, args.input_path, args.output_path, args.reference_path,
+                n_timesteps=args.n_timesteps, seed=args.seed,
+            )
+        finally:
+            server.close()
+    else:
+        result = pipe.respond(
+            args.input_path, args.output_path, args.reference_path,
+            n_timesteps=args.n_timesteps, seed=args.seed,
+            top_k=args.top_k, top_p=args.top_p, temperature=args.temperature,
+        )
     print(f"user_text: {result.user_text!r}")
     print(f"agent_text: {result.agent_text!r}")
     print(f"agent_units: {len(result.agent_units)} units "

@@ -186,6 +186,9 @@ def main(argv=None) -> int:
     p.add_argument("--max_pages_per_seq", type=int, default=32)
     p.add_argument("--max_batch_size", type=int, default=8)
     p.add_argument("--prefill_chunk", type=int, default=256)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree: shard the LM over the first "
+                        "N devices (requires num_kv_heads %% tp == 0)")
     args = p.parse_args(argv)
 
     from usdm_tpu.core.config import EngineConfig
@@ -206,7 +209,7 @@ def main(argv=None) -> int:
             max_pages_per_seq=args.max_pages_per_seq,
             max_batch_size=args.max_batch_size,
             prefill_chunk=args.prefill_chunk,
-        ))
+        ), tp=args.tp)
 
     httpd = ThreadingHTTPServer(
         ("0.0.0.0", args.port), make_handler(pipe, server, args.n_timesteps)

@@ -67,7 +67,17 @@ class PagedKV:
 jax.tree_util.register_dataclass(PagedKV, data_fields=["k_pages", "v_pages"], meta_fields=[])
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample"), donate_argnums=(1,))
+def _psum(x, tp_axis):
+    return x if tp_axis is None else jax.lax.psum(x, tp_axis)
+
+
+def _proj_dim(w) -> int:
+    """Output dim of a projection weight (plain array or quantized dict)."""
+    return (w["q"] if isinstance(w, dict) else w).shape[-1]
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample", "tp_axis"),
+         donate_argnums=(1,))
 def paged_decode_step(
     params: M.Params,
     kv: PagedKV,
@@ -83,14 +93,24 @@ def paged_decode_step(
     top_p: jnp.ndarray,  # [B] f32
     temperature: jnp.ndarray,  # [B] f32
     do_sample: bool = False,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, PagedKV]:
     """One decode step for every active slot -> (next_token [B], keys', kv').
 
     With do_sample=False every slot is argmax and `keys` pass through
     untouched (the common greedy path compiles without the vocab sort).
+
+    With `tp_axis` set the body runs INSIDE a shard_map over that mesh axis
+    (engine.tp): params/kv arrive as per-device shards (heads and ffn split),
+    h/hkv/vocab are derived from local shapes, matmul partial sums psum, and
+    the vocab-sharded logits all_gather before masking/sampling — the
+    explicit-collective TP serving path (SURVEY §2.3).
     """
     b = tokens.shape[0]
-    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hd = cfg.head_dim
+    # local head counts come from the (possibly sharded) weights, not cfg
+    h = _proj_dim(params["layers"]["wq"]) // hd
+    hkv = _proj_dim(params["layers"]["wk"]) // hd
     cdt = jnp.dtype(cfg.dtype)
 
     pos = seq_lens  # position of the incoming token
@@ -135,14 +155,19 @@ def paged_decode_step(
                 qg, k_l, v_l, page_table, pos + 1, sliding_window=cfg.sliding_window
             )
         attn = attn.reshape(b, 1, h * hd)
-        x = x + qmm(attn, lp["wo"])
+        x = x + _psum(qmm(attn, lp["wo"]), tp_axis)
         y = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"])
+        x = x + _psum(
+            qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"]),
+            tp_axis,
+        )
         return x, (k_l, v_l)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], kv.k_pages, kv.v_pages))
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    if tp_axis is not None:  # lm_head is vocab-sharded: assemble full logits
+        logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
     logits = jnp.where(allow_masks, logits, NEG_INF)
     if do_sample:
         keys, use = split_keys(keys)
@@ -153,7 +178,8 @@ def paged_decode_step(
     return nxt, keys, PagedKV(new_k, new_v)
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages"), donate_argnums=(1,))
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
+         donate_argnums=(1,))
 def paged_prefill_chunk(
     params: M.Params,
     kv: PagedKV,
@@ -164,6 +190,7 @@ def paged_prefill_chunk(
     page_table_row: jnp.ndarray,  # [maxp] this request's pages
     page_size: int,
     n_ctx_pages: int,  # static: pages gathered as attention context
+    tp_axis: Optional[str] = None,  # see paged_decode_step
 ) -> Tuple[jnp.ndarray, PagedKV]:
     """Prefill one chunk of one request into its pages.
 
@@ -174,7 +201,9 @@ def paged_prefill_chunk(
     inference_vllm.py:109).  Returns (last-valid-token logits [V] f32, kv').
     """
     c = chunk_ids.shape[0]
-    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    hd = cfg.head_dim
+    h = _proj_dim(params["layers"]["wq"]) // hd
+    hkv = _proj_dim(params["layers"]["wk"]) // hd
     cdt = jnp.dtype(cfg.dtype)
     p = page_size
     s_ctx = n_ctx_pages * p
@@ -218,15 +247,20 @@ def paged_prefill_chunk(
             q_positions=positions, kv_positions=kv_pos,
             causal=True, sliding_window=cfg.sliding_window, impl="auto",
         )
-        x = x + qmm(attn.reshape(1, c, h * hd), lp["wo"])
+        x = x + _psum(qmm(attn.reshape(1, c, h * hd), lp["wo"]), tp_axis)
         y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]), lp["w_down"])
+        x = x + _psum(
+            qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]), lp["w_down"]),
+            tp_axis,
+        )
         return x, (k_l, v_l)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], kv.k_pages, kv.v_pages))
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = jnp.clip(n_valid - 1, 0, c - 1)
     logits = (x[0, last] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=0, tiled=True)
     return logits, PagedKV(new_k, new_v)
 
 
@@ -292,16 +326,31 @@ def _ctx_pages_bucket(n_pages: int, maxp: int) -> int:
 
 
 class PagedEngine:
-    """Continuous-batching engine over the paged KV pool."""
+    """Continuous-batching engine over the paged KV pool.
 
-    def __init__(self, params: M.Params, cfg: MistralConfig, ecfg: EngineConfig):
-        self.params = params
+    Pass `mesh` (a 1-D Mesh over the 'model' axis, engine.tp.make_tp_mesh) to
+    shard the LM and KV pool tensor-parallel across devices: decode/prefill
+    then run as shard_maps with explicit ICI collectives (SURVEY §2.3 TP
+    serving).  The host-side scheduler is identical either way.
+    """
+
+    def __init__(self, params: M.Params, cfg: MistralConfig, ecfg: EngineConfig,
+                 mesh=None):
         self.cfg = cfg
         self.ecfg = ecfg
+        self.mesh = mesh
         ps = ecfg.page_size
         # +1: the last page is a reserved scratch target for inactive slots
         n_pages = (ecfg.n_pages or ecfg.max_batch_size * ecfg.max_pages_per_seq) + 1
         self.kv = PagedKV.create(cfg, n_pages, ps)
+        if mesh is not None:
+            from usdm_tpu.engine import tp as TP
+
+            params = TP.shard_params(params, mesh, cfg)
+            self.kv = TP.shard_kv(self.kv, mesh)
+            self._tp_decode = TP.make_decode_step(mesh, cfg, ps)
+            self._tp_prefill = TP.make_prefill_chunk(mesh, cfg, ps)
+        self.params = params
         self.free_pages: List[int] = list(range(n_pages - 1))
         b = ecfg.max_batch_size
         self.page_table = np.zeros((b, ecfg.max_pages_per_seq), np.int32)
@@ -404,12 +453,19 @@ class PagedEngine:
         ncp = _ctx_pages_bucket(
             self._pages_needed(start + c), self.ecfg.max_pages_per_seq
         )
-        logits, self.kv = paged_prefill_chunk(
-            self.params, self.kv, self.cfg,
-            jnp.asarray(ids), jnp.asarray(start, jnp.int32), jnp.asarray(n, jnp.int32),
-            jnp.asarray(self.page_table[slot]),
-            self.ecfg.page_size, ncp,
-        )
+        if self.mesh is not None:
+            logits, self.kv = self._tp_prefill(
+                self.params, self.kv,
+                jnp.asarray(ids), jnp.asarray(start, jnp.int32),
+                jnp.asarray(n, jnp.int32), jnp.asarray(self.page_table[slot]), ncp,
+            )
+        else:
+            logits, self.kv = paged_prefill_chunk(
+                self.params, self.kv, self.cfg,
+                jnp.asarray(ids), jnp.asarray(start, jnp.int32), jnp.asarray(n, jnp.int32),
+                jnp.asarray(self.page_table[slot]),
+                self.ecfg.page_size, ncp,
+            )
         self.prefill_pos[slot] = start + n
         if start + n < len(req.prompt_ids):
             return  # more chunks to go; logits discarded
@@ -453,14 +509,24 @@ class PagedEngine:
         dec = self.status == DECODE
         if not dec.any():
             return int((self.status != FREE).sum())
-        nxt, self._keys_dev, self.kv = paged_decode_step(
-            self.params, self.kv, self.cfg,
-            jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
-            jnp.asarray(self.page_table), jnp.asarray(dec),
-            self._allow_dev, self.ecfg.page_size,
-            self._keys_dev, jnp.asarray(self.top_k), jnp.asarray(self.top_p),
-            jnp.asarray(self.temp), do_sample=self._do_sample(),
-        )
+        if self.mesh is not None:
+            nxt, self._keys_dev, self.kv = self._tp_decode(
+                self.params, self.kv,
+                jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
+                jnp.asarray(self.page_table), jnp.asarray(dec),
+                self._allow_dev, self._keys_dev,
+                jnp.asarray(self.top_k), jnp.asarray(self.top_p),
+                jnp.asarray(self.temp), do_sample=self._do_sample(),
+            )
+        else:
+            nxt, self._keys_dev, self.kv = paged_decode_step(
+                self.params, self.kv, self.cfg,
+                jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
+                jnp.asarray(self.page_table), jnp.asarray(dec),
+                self._allow_dev, self.ecfg.page_size,
+                self._keys_dev, jnp.asarray(self.top_k), jnp.asarray(self.top_p),
+                jnp.asarray(self.temp), do_sample=self._do_sample(),
+            )
         nxt = np.asarray(nxt)
         self.steps += 1
         for slot in range(self.ecfg.max_batch_size):
@@ -482,6 +548,8 @@ class PagedEngine:
 
     def step_multi(self, n_steps: int) -> int:
         """One prefill chunk, then decode up to n_steps tokens on device."""
+        if self.mesh is not None:  # TP path always syncs per token
+            return self.step()
         self._try_admit()
         self._prefill_tick()
         dec = self.status == DECODE
@@ -526,7 +594,8 @@ class PagedEngine:
         for r in requests:
             self.submit(r)
         while self.waiting or (self.status != FREE).any():
-            if self.waiting or self.prefill_order:
+            if (self.waiting or self.prefill_order or self.decode_horizon == 1
+                    or self.mesh is not None):
                 self.step()  # keep admitting/prefilling while a queue exists
             else:
                 self.step_multi(self.decode_horizon)

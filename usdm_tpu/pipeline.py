@@ -97,20 +97,26 @@ class UsdmPipeline:
         )
         return np.asarray(units)[0, : int(ulen[0])].tolist()
 
-    def make_server(self, ecfg=None):
+    def make_server(self, ecfg=None, tp: int = 1):
         """Spin up the continuous-batching serving engine over the LM.
 
         Returns an `EngineServer` (background step-loop thread); build one
         `PagedDialogPolicy` per conversation on top of it.  This is the
         concurrent serving path (reference: vLLM engine in
         streamlit_demo.py:64) — `respond()` below is the single-caller
-        prefix-reuse path."""
+        prefix-reuse path.  `tp > 1` shards the LM + KV pool tensor-parallel
+        across the first `tp` devices (engine.tp shard_map serving)."""
         from usdm_tpu.core.config import EngineConfig
         from usdm_tpu.engine.paged import PagedEngine
         from usdm_tpu.engine.server import EngineServer
 
+        mesh = None
+        if tp > 1:
+            from usdm_tpu.engine.tp import make_tp_mesh
+
+            mesh = make_tp_mesh(tp)
         return EngineServer(PagedEngine(self.lm_params, self.lm_cfg,
-                                        ecfg or EngineConfig()))
+                                        ecfg or EngineConfig(), mesh=mesh))
 
     def respond(
         self,
