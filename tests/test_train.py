@@ -146,3 +146,63 @@ def test_vocoder_gan_steps(rng):
         state, dmetrics = disc_step(state, batch)
         state, gmetrics = gen_step(state, batch)
     assert float(dmetrics["disc_loss"]) != d0
+
+
+def test_manual_adamw_matches_optax(rng):
+    """The offload path's manual AdamW (train/lm.py:manual_adamw_update) must
+    be numerically identical to the optax chain the default trainer uses
+    (clip_by_global_norm -> adamw(schedule)) so --offload changes placement,
+    not training math."""
+    import optax
+
+    tc = TrainConfig(batch_size=4, max_steps=20, learning_rate=3e-3)
+    opt = T.make_optimizer(tc)
+    # the same schedule make_optimizer builds
+    total = tc.max_steps
+    warmup = max(int(total * tc.warmup_ratio), 1)
+    schedule = optax.warmup_cosine_decay_schedule(0.0, tc.learning_rate, warmup, max(total, warmup + 1))
+
+    params = {
+        "a": jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32)),
+        "b": {"w": jnp.asarray(rng.standard_normal((4,)).astype(np.float32))},
+    }
+    opt_state = opt.init(params)
+    manual_state = T.AdamWState(
+        m=jax.tree.map(jnp.zeros_like, params),
+        v=jax.tree.map(jnp.zeros_like, params),
+        count=jnp.zeros((), jnp.int32),
+    )
+    p_opt, p_man = params, params
+    for step in range(4):
+        grads = jax.tree.map(
+            lambda a: jnp.asarray(rng.standard_normal(a.shape).astype(np.float32)) * (10.0 if step == 1 else 0.1),
+            params,
+        )
+        updates, opt_state = opt.update(grads, opt_state, p_opt)
+        p_opt = optax.apply_updates(p_opt, updates)
+        p_man, manual_state, gnorm = T.manual_adamw_update(p_man, grads, manual_state, schedule, tc)
+        assert np.isfinite(float(gnorm))
+        for l1, l2 in zip(jax.tree.flatten(p_opt)[0], jax.tree.flatten(p_man)[0]):
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=2e-5, atol=2e-7)
+
+
+def test_memory_budget_7b_v5e():
+    """docs/MEMORY.md table: 7B FSDP doesn't fit a 16GB v5e chip at dp=8
+    without optimizer offload, fits with it, and fits without at dp=16."""
+    full = MistralConfig()
+    assert not T.memory_budget(full, dp=8, offload=False)["fits"]
+    with_off = T.memory_budget(full, dp=8, offload=True)
+    assert with_off["fits"] and with_off["host_gb"] > 5.0
+    assert T.memory_budget(full, dp=16, offload=False)["fits"]
+    # tp also divides the states
+    assert T.memory_budget(full, dp=8, tp=2, offload=False)["device_gb"] < \
+           T.memory_budget(full, dp=8, tp=1, offload=False)["device_gb"]
+
+
+def test_offload_shardings_are_pinned_host():
+    mesh = create_mesh(dp=8, tp=1)
+    state_sh, host_flat = T._offload_shardings(CFG, mesh)
+    assert all(s.memory_kind == "pinned_host" for s in host_flat)
+    assert all(s.memory_kind == "pinned_host"
+               for s in jax.tree.flatten(state_sh.opt_state.v)[0])
+    assert state_sh.params["embed"].memory_kind == "device"

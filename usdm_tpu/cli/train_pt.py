@@ -73,6 +73,9 @@ def main(argv=None) -> int:
     p.add_argument("--lora_r", type=int, default=8)
     p.add_argument("--lora_alpha", type=int, default=64)
     p.add_argument("--tiny", action="store_true", help="tiny random model (plumbing test)")
+    p.add_argument("--offload", action="store_true",
+                   help="Adam moments in pinned host memory (ZeRO offload analog; "
+                        "needed for 7B on v5e-8 — see docs/MEMORY.md)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for the first N steps")
     args = p.parse_args(argv)
@@ -110,8 +113,21 @@ def main(argv=None) -> int:
     )
 
     mesh = create_mesh(dp=args.dp, tp=args.tp)
+    budget = T.memory_budget(cfg, dp=mesh.shape["data"], tp=mesh.shape["model"],
+                             seq_len=args.max_input_length,
+                             batch_per_chip=max(tc.batch_size // mesh.shape["data"], 1),
+                             offload=args.offload)
+    print(f"memory budget: device {budget['device_gb']:.2f} GB"
+          f" host {budget['host_gb']:.2f} GB (fits 16GB: {budget['fits']})")
+    if not budget["fits"] and not args.offload and not args.tiny:
+        print("[warning] layout exceeds a v5e chip's HBM — consider --offload or more chips"
+              " (docs/MEMORY.md)")
+
     opt = T.make_optimizer(tc)
-    state, shardings = T.init_state(cfg, tc, mesh, key, opt)
+    if args.offload:
+        state, shardings = T.init_offload_state(cfg, tc, mesh, key)
+    else:
+        state, shardings = T.init_state(cfg, tc, mesh, key, opt)
     if base is not None:
         state = T.TrainState(
             params=jax.device_put(jax.tree.map(lambda a: a.astype(jnp.float32), base),
@@ -130,7 +146,8 @@ def main(argv=None) -> int:
         else:
             print(f"[warning] no checkpoints under {ckpt_dir}")
 
-    step_fn = T.make_train_step(cfg, tc, mesh, opt)
+    step_fn = (T.make_offload_train_step(cfg, tc, mesh) if args.offload
+               else T.make_train_step(cfg, tc, mesh, opt))
     eval_fn = T.make_eval_step(cfg, tc, mesh) if args.eval_data_path else None
     logger = MetricsLogger(args.output_dir)
 
