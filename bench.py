@@ -108,6 +108,83 @@ def bench_e2e():
     return (llm_s + dec_s) / audio_s, "e2e_speech_to_speech_rtf"
 
 
+def bench_pipeline():
+    """Time the REAL product path — `UsdmPipeline.respond()` at full 7B/1B
+    geometry with zero weights: XLS-R unit extraction, the 3-stage dialog
+    chain (host templating/regex + chunked prefill + chained paged decode),
+    Voicebox ODE, BigVGAN.  Stage lengths are pinned to the reference's
+    typical response shape (~48 ASR + ~32 text + ~256 unit tokens ~= 5 s of
+    speech) by sampling uniformly over each stage's allowed vocab (zero
+    weights make greedy degenerate; uniform sampling exercises the same
+    compute).
+    """
+    import os
+    import tempfile
+
+    from usdm_tpu.audio.wav import write_wav
+    from usdm_tpu.core.config import MelConfig, MistralConfig, VoiceboxConfig, XlsrConfig, BigVGANConfig
+    from usdm_tpu.core.tokenizer import UsdmTokenizer
+    from usdm_tpu.engine.synthesis import SpeechDecoder
+    from usdm_tpu.models import bigvgan as BGV
+    from usdm_tpu.models import mistral as M
+    from usdm_tpu.models import voicebox as VB
+    from usdm_tpu.models import xlsr as XL
+    from usdm_tpu.ops.sampling import STAGE_TEXT2TEXT, STAGE_TEXT2UNIT, STAGE_UNIT2TEXT
+    from usdm_tpu.pipeline import UsdmPipeline
+
+    from usdm_tpu.models.quant import quantize_llm_params
+
+    tok = UsdmTokenizer.build_synthetic_full()
+    lm_cfg = MistralConfig()
+    assert tok.vocab_size == lm_cfg.vocab_size, (tok.vocab_size, lm_cfg.vocab_size)
+    # int8 serving mode (the production config, same as bench_e2e); the full
+    # bf16 LM + 1B XLS-R + decoder would exceed one chip's 16 GB
+    lm = _zeros_like_shapes(jax.eval_shape(
+        lambda: quantize_llm_params(M.init_params(lm_cfg, jax.random.PRNGKey(0)))))
+    xl_cfg = XlsrConfig()
+    xl = _zeros_like_shapes(
+        jax.eval_shape(lambda: XL.init_params(xl_cfg, jax.random.PRNGKey(1))), jnp.bfloat16)
+    vb_cfg = VoiceboxConfig()
+    vb = _zeros_like_shapes(
+        jax.eval_shape(lambda: VB.init_params(vb_cfg, jax.random.PRNGKey(2))), jnp.bfloat16)
+    bv_cfg = BigVGANConfig()
+    bv = _zeros_like_shapes(
+        jax.eval_shape(lambda: BGV.init_generator(bv_cfg, jax.random.PRNGKey(3))), jnp.bfloat16)
+    pipe = UsdmPipeline(tok, lm, lm_cfg, xl, xl_cfg, SpeechDecoder(vb, vb_cfg, bv, bv_cfg, MelConfig()))
+
+    from usdm_tpu.engine.server import PagedDialogPolicy
+
+    budgets = {STAGE_UNIT2TEXT: 48, STAGE_TEXT2TEXT: 32, STAGE_TEXT2UNIT: 256}
+
+    class BudgetedPolicy(PagedDialogPolicy):
+        """respond()'s paged policy with the stage budgets pinned."""
+
+        def _run_stage(self, stage, prompt):
+            self.max_new_tokens = budgets[stage]
+            return super()._run_stage(stage, prompt)
+
+    wav_path = os.path.join(tempfile.mkdtemp(), "user.wav")
+    write_wav(wav_path, (np.random.default_rng(0).standard_normal(48000) * 0.1).astype(np.float32), 16000)
+
+    def once(seed):
+        policy = BudgetedPolicy(pipe._dialog_server(), tok, top_k=0,
+                                temperature=1.0, seed=seed)
+        t0 = time.time()
+        res = pipe.respond_with_policy(policy, wav_path, n_timesteps=50, seed=seed)
+        n_units = len(res.agent_units)
+        return time.time() - t0, n_units
+
+    # same seed for warm-up and timing: identical prompts reuse the padded-
+    # bucket compilations, so the second call measures steady-state serving
+    # (a varying seed would time fresh XLA compiles, not the pipeline)
+    once(1)
+    wall, n_units = once(1)
+    pipe.close()
+    audio_s = n_units * round(22050 / 50) / 22050.0
+    assert n_units > 100, f"degenerate bench run: only {n_units} units"
+    return wall / audio_s
+
+
 def bench_decoder_only():
     from usdm_tpu.core.config import BigVGANConfig, VoiceboxConfig
     from usdm_tpu.models import bigvgan as BGV
@@ -147,12 +224,19 @@ def main():
         rtf, metric = bench_e2e()
     except Exception:
         rtf, metric = bench_decoder_only()
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(rtf, 4),
         "unit": "rtf",
         "vs_baseline": round(1.0 / rtf, 2),
-    }))
+    }
+    # the REAL product path (pipeline.respond with host templating + dense
+    # prefix-reuse decode) measured alongside the component proxy
+    try:
+        out["e2e_pipeline_rtf"] = round(bench_pipeline(), 4)
+    except Exception as e:  # never lose the primary metric
+        out["e2e_pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

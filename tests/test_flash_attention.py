@@ -180,3 +180,25 @@ def test_alibi_flash_matches_voicebox_attention(rng):
         gr = jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4)
+
+
+def test_custom_vjp_inside_fori_loop_canary(rng):
+    """Canary for the jax-0.9 lowering-cache bug (custom_vjp-wrapped pallas
+    calls inside fori_loop failed to lower).  Verified fixed on TPU
+    2026-08-16; the voicebox inference `fwd_only` workaround was removed on
+    the strength of this path working.  If this test ever breaks, restore
+    fwd_only=True in voicebox._cfg_estimate."""
+    b, t, h, d = 1, 128, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, t, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, 1, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, 1, d)).astype(np.float32))
+    seg = jnp.zeros((b, t), jnp.int32)
+    pos = jnp.arange(t)[None]
+
+    def body(i, acc):
+        o = FA.flash_attention(q, k, v, seg, seg, pos, pos)  # vjp-wrapped
+        return acc + o.sum()
+
+    out = jax.jit(lambda: jax.lax.fori_loop(0, 2, body, 0.0))()
+    ref = 2 * FA.flash_attention(q, k, v, seg, seg, pos, pos, fwd_only=True).sum()
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)

@@ -260,3 +260,88 @@ def test_tp_engine_matches_single_device(setup, rng):
 
     for a, b in zip(base, tp_reqs):
         assert a.output_ids == b.output_ids, (a.req_id, a.output_ids, b.output_ids)
+
+
+def test_sliding_window_page_reclaim(rng):
+    """Pages wholly below the sliding window are returned to the pool
+    mid-flight (reference slices dense KV at the window, model.py:337-373)
+    and the retargeted table entries don't corrupt decode: output still
+    equals the dense generate loop."""
+    cfg = CFG.replace(sliding_window=16)
+    ecfg = EngineConfig(page_size=8, max_pages_per_seq=16, max_batch_size=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(1), dtype="float32")
+    prompt = rng.integers(3, cfg.vocab_size, size=20).tolist()
+    allow = np.ones(cfg.vocab_size, bool)
+    max_new = 40
+
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, cfg, ecfg)
+        free0 = len(eng.free_pages)
+        req = Request(0, prompt, allow, eos_id=2, max_new_tokens=max_new)
+        eng.submit(req)
+        reclaimed_seen = 0
+        occupied_min = ecfg.max_pages_per_seq
+        while eng.busy:
+            eng.step()
+            if eng.status[0] != 0 and eng.slot_pages[0]:
+                reclaimed_seen = max(reclaimed_seen, int(eng.released[0]))
+                occupied_min = min(
+                    occupied_min, len(eng.slot_pages[0]) - int(eng.released[0]))
+        assert reclaimed_seen >= 4, f"expected mid-flight reclaim, saw {reclaimed_seen}"
+        # steady-state live footprint is O(window), not O(total)
+        assert occupied_min <= (cfg.sliding_window // ecfg.page_size) + 2
+        assert len(eng.free_pages) == free0  # all returned exactly once
+
+        toks, lens = generate(
+            params, cfg,
+            jnp.asarray(np.asarray(prompt, np.int32)[None]),
+            jnp.asarray([len(prompt)], jnp.int32),
+            jnp.asarray(allow), jnp.asarray(2, jnp.int32),
+            max_new_tokens=max_new, attn_impl="xla",
+        )
+    dense = np.asarray(toks[0, : int(lens[0])]).tolist()
+    assert req.output_ids[: len(dense)] == dense
+
+
+@pytest.mark.parametrize("impl", ["chain", "fused"])
+def test_multi_impl_matches_single_step(setup, rng, impl):
+    """Both multi-token backends (chained dispatches / fused fori_loop) must
+    emit exactly what per-token stepping emits."""
+    params = setup
+    reqs_a = [_req(rng, 10 + i, n=8 + i, max_new=7) for i in range(3)]
+    reqs_b = [Request(r.req_id, list(r.prompt_ids), r.allow_mask, r.eos_id, r.max_new_tokens)
+              for r in reqs_a]
+    with jax.default_matmul_precision("highest"):
+        eng1 = PagedEngine(params, CFG, ECFG)
+        eng1.decode_horizon = 1
+        eng1.run(reqs_a)
+        engm = PagedEngine(params, CFG, ECFG)
+        engm.decode_horizon = 8
+        engm.multi_impl = impl
+        engm.run(reqs_b)
+    for a, b in zip(reqs_a, reqs_b):
+        assert a.output_ids == b.output_ids, f"req {a.req_id}: {a.output_ids} vs {b.output_ids}"
+
+
+def test_multi_horizon_respects_allocation(setup, rng):
+    """A slot whose remaining budget is smaller than the horizon must NOT
+    decode past its page allocation (those writes would land on page 0 and
+    corrupt whichever request owns it)."""
+    params = setup
+    with jax.default_matmul_precision("highest"):
+        # victim owns the lowest page ids (admitted first)
+        victim = _req(rng, 0, n=10, max_new=24)
+        victim_solo = Request(99, list(victim.prompt_ids), victim.allow_mask,
+                              victim.eos_id, victim.max_new_tokens)
+        # short has max_new=2 but the engine runs horizon=8
+        short = Request(1, rng.integers(3, CFG.vocab_size, size=14).tolist(),
+                        np.ones(CFG.vocab_size, bool), eos_id=2, max_new_tokens=2)
+        eng = PagedEngine(params, CFG, ECFG)
+        eng.decode_horizon = 8
+        eng.run([victim, short])
+        assert len(short.output_ids) <= 2
+
+        solo = PagedEngine(params, CFG, ECFG)
+        solo.decode_horizon = 1
+        solo.run([victim_solo])
+    assert victim.output_ids == victim_solo.output_ids

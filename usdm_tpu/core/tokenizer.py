@@ -107,6 +107,41 @@ class UsdmTokenizer:
         )
         return cls(tok, ts)
 
+    @classmethod
+    def build_synthetic_full(cls, base_vocab_size: int = 32000, num_units: int = 10000
+                             ) -> "UsdmTokenizer":
+        """Real USDM token-space geometry (32,000 base + 10,003 specials =
+        42,003) with a hermetic char-level BPE padded by filler tokens: for
+        full-size benchmarking (bench.py e2e_pipeline mode) and synthetic
+        full-geometry checkpoint round-trips, where the id LAYOUT and vocab
+        SIZE must match the reference but real weights don't exist."""
+        chars = [chr(c) for c in range(32, 127)] + ["\n"]
+        vocab = {"<unk>": 0, "<s>": 1, "</s>": 2, _METASPACE: 3}
+        for ch in chars:
+            if ch not in vocab and ch != " ":
+                vocab[ch] = len(vocab)
+        i = 0
+        while len(vocab) < base_vocab_size:
+            vocab[f"<fill{i}>"] = len(vocab)
+            i += 1
+        model = models.BPE(vocab=vocab, merges=[], unk_token="<unk>")
+        tok = Tokenizer(model)
+        tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement=_METASPACE, prepend_scheme="first")
+        tok.decoder = decoders.Metaspace(replacement=_METASPACE, prepend_scheme="first")
+        specials = ["<|continue|>", "<|correspond|>"]
+        specials += [f"<|unit{i}|>" for i in range(num_units)]
+        specials += ["<pad>"]
+        tok.add_special_tokens([AddedToken(s, normalized=False, special=True) for s in specials])
+        ts = TokenSpace(
+            base_vocab_size=base_vocab_size,
+            num_units=num_units,
+            bos_id=1,
+            eos_id=2,
+            space_id=3,
+            newline_id=vocab["\n"],
+        )
+        return cls(tok, ts)
+
     # ------------------------------------------------------------------- api
     @property
     def vocab_size(self) -> int:

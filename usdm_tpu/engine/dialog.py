@@ -109,7 +109,7 @@ class DialogPolicy:
         params: M.Params,
         cfg: MistralConfig,
         tokenizer: UsdmTokenizer,
-        max_new_tokens: int = 1024,
+        max_new_tokens: Optional[int] = None,
         attn_impl: str = "auto",
         reuse_prefix: bool = True,
         cache_len: Optional[int] = None,
@@ -142,8 +142,23 @@ class DialogPolicy:
             for s in (STAGE_UNIT2TEXT, STAGE_TEXT2TEXT, STAGE_TEXT2UNIT)
         }
 
+    def _stage_budget(self, n_prompt: int) -> int:
+        """Per-stage token budget from tokenizer metadata: the reference caps
+        every stage at tokenizer.model_max_length TOTAL length
+        (inference.py:64 max_length=...; the vLLM path uses it as max_tokens,
+        inference_vllm.py:113).  HF semantics: new tokens = max_length-prompt."""
+        budget = self.tok.model_max_length - n_prompt - 1
+        if self.max_new_tokens is not None:
+            budget = min(budget, self.max_new_tokens)
+        budget = max(budget, 1)
+        # max_new_tokens is a static jit arg: bucket down to a 256 multiple so
+        # varying prompt lengths reuse one compilation (EOS stops the
+        # while_loop early regardless)
+        return budget if budget < 256 else (budget // 256) * 256
+
     def _run_stage(self, stage: str, prompt: str, max_new: Optional[int] = None) -> List[int]:
         ids = self.tok.encode(prompt)
+        max_new = max_new or self._stage_budget(len(ids))
         if self.reuse_prefix:
             return self._run_stage_cached(stage, ids, max_new)
         # bucket the prompt length to a 128 multiple so `generate` compiles
@@ -161,7 +176,7 @@ class DialogPolicy:
             input_len,
             self._masks[stage],
             jnp.asarray(stage_eos(stage, self.ts), jnp.int32),
-            max_new_tokens=max_new or self.max_new_tokens,
+            max_new_tokens=max_new,
             attn_impl=self.attn_impl,
             top_k=self.top_k, top_p=self.top_p, temperature=self.temperature,
             key=self._next_key(),
@@ -175,6 +190,7 @@ class DialogPolicy:
 
     def _run_stage_cached(self, stage: str, ids: List[int], max_new: Optional[int] = None) -> List[int]:
         """Stage decode reusing the cached common prompt prefix."""
+        max_new = max_new or self._stage_budget(len(ids))
         common = 0
         if self._cache is not None:
             limit = min(len(self._cached_ids), len(ids))
@@ -185,7 +201,7 @@ class DialogPolicy:
         # capacity must cover the BUCKET-PADDED suffix write: prefill_extend's
         # dynamic_update_slice would otherwise clamp its start index and
         # silently corrupt the cached prefix (XLA clamps OOB update offsets).
-        budget = (max_new or self.max_new_tokens) + 1
+        budget = max_new + 1
         required = common + bucket + budget
         fresh_required = max(64, -(-len(ids) // 64) * 64) + budget
         if required > self.cache_len:
@@ -210,7 +226,7 @@ class DialogPolicy:
             jnp.asarray(padded), jnp.asarray([len(suffix)], jnp.int32),
             self._masks[stage],
             jnp.asarray(stage_eos(stage, self.ts), jnp.int32),
-            max_new_tokens=max_new or self.max_new_tokens,
+            max_new_tokens=max_new,
             attn_impl=self.attn_impl,
             top_k=self.top_k, top_p=self.top_p, temperature=self.temperature,
             key=self._next_key(),

@@ -367,16 +367,22 @@ class PagedEngine:
         self._keys_dev = jnp.zeros((b, 2), jnp.uint32)
         self.slot_req: List[Optional[Request]] = [None] * b
         self.slot_pages: List[List[int]] = [[] for _ in range(b)]
+        # sliding-window reclaim: count of leading pages already returned to
+        # the pool (their tokens fell out of the attention window)
+        self.released = np.zeros(b, np.int32)
         self.prefill_pos = np.zeros(b, np.int32)  # prompt tokens written so far
         self.prefill_order: List[int] = []  # FCFS queue of PREFILL slots
         self.waiting: List[Request] = []
         self.steps = 0
         # device-side decode horizon: sync with the host every N tokens when
-        # no admissions are pending.  Default 1: async dispatch already hides
-        # host RTT, and XLA schedules the fused multi-token loop ~2x slower
-        # than back-to-back single steps (measured on v5e); raise it only when
-        # the host itself is the bottleneck.
-        self.decode_horizon = 1
+        # no admissions are pending.  multi_impl="chain" (step_chain) keeps
+        # XLA's fast back-to-back dispatch schedule and costs one sync per
+        # horizon; the fused fori_loop ("fused", paged_decode_multi) lowers
+        # the same math but XLA schedules it slower (measured b=1 7B-int8 on
+        # a tunneled v5e: single-step 21 tok/s, chain8 56, chain16 66,
+        # fused8 49).
+        self.decode_horizon = ecfg.decode_horizon
+        self.multi_impl = "chain"
 
     @property
     def active(self) -> np.ndarray:
@@ -488,10 +494,35 @@ class PagedEngine:
         req = self.slot_req[slot]
         if req is not None:
             req.finished = True
-        self.free_pages.extend(self.slot_pages[slot])
+        # pages before self.released[slot] were already reclaimed mid-flight
+        self.free_pages.extend(self.slot_pages[slot][int(self.released[slot]):])
         self.slot_pages[slot] = []
+        self.released[slot] = 0
         self.status[slot] = FREE
         self.slot_req[slot] = None
+
+    def _reclaim_window(self, slot: int) -> None:
+        """Return pages wholly below the sliding window to the free pool.
+
+        The reference slices dense KV at the window (src/model.py:337-373);
+        here a page whose last token is below `next_pos - window` can never be
+        read again (both paged-attention paths mask by absolute position), so
+        it is freed for other requests and its table entry retargeted at the
+        trash page.  Bounds per-sequence HBM at O(window), not O(total)."""
+        w = self.cfg.sliding_window
+        if not w:
+            return
+        ps = self.ecfg.page_size
+        # the next decode step (kv_len = seq_lens+1) reads positions
+        # >= kv_len-1-w = seq_lens-w (kernel: ops/paged_attention.py:71,141)
+        first_needed = max(int(self.seq_lens[slot]) - w, 0) // ps
+        trash = self.kv.k_pages.shape[2] - 1
+        r = int(self.released[slot])
+        while r < first_needed and r < len(self.slot_pages[slot]):
+            self.free_pages.append(self.slot_pages[slot][r])
+            self.page_table[slot, r] = trash
+            r += 1
+        self.released[slot] = r
 
     def _do_sample(self) -> bool:
         return any(
@@ -544,7 +575,24 @@ class PagedEngine:
                 or total >= self.ecfg.max_pages_per_seq * self.ecfg.page_size
             ):
                 self._finish(slot)
+            else:
+                self._reclaim_window(slot)
         return int((self.status != FREE).sum())
+
+    def _safe_horizon(self, n_steps: int, dec: np.ndarray) -> int:
+        """Clamp a multi-token horizon so no slot can decode past its token
+        budget or its page allocation (writes would land on page-table zeros
+        = someone else's page 0)."""
+        n = n_steps
+        ps = self.ecfg.page_size
+        for slot in range(self.ecfg.max_batch_size):
+            if not dec[slot]:
+                continue
+            req = self.slot_req[slot]
+            n = min(n, req.max_new_tokens - len(req.output_ids))
+            cap = len(self.slot_pages[slot]) * ps - (int(self.seq_lens[slot]) + 1)
+            n = min(n, cap)
+        return max(n, 1)
 
     def step_multi(self, n_steps: int) -> int:
         """One prefill chunk, then decode up to n_steps tokens on device."""
@@ -555,6 +603,7 @@ class PagedEngine:
         dec = self.status == DECODE
         if not dec.any():
             return int((self.status != FREE).sum())
+        n_steps = self._safe_horizon(n_steps, dec)
         toks, n_emitted, self._keys_dev, self.kv = paged_decode_multi(
             self.params, self.kv, self.cfg,
             jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
@@ -568,6 +617,58 @@ class PagedEngine:
         toks = np.asarray(toks)
         n_emitted = np.asarray(n_emitted)
         self.steps += n_steps
+        return self._absorb_multi(dec, toks, n_emitted)
+
+    def step_chain(self, n_steps: int) -> int:
+        """Multi-token decode as n_steps CHAINED single-step dispatches with
+        one host sync at the end.
+
+        Keeps the back-to-back dispatch schedule XLA runs ~2x faster than the
+        fused fori_loop (`paged_decode_multi`, measured on v5e) while still
+        amortizing the host round-trip over n_steps tokens: each step's next
+        token feeds the following dispatch as a device array; EOS freezing is
+        a couple of tiny async device ops between dispatches."""
+        if self.mesh is not None:
+            return self.step()
+        self._try_admit()
+        self._prefill_tick()
+        dec = self.status == DECODE
+        if not dec.any():
+            return int((self.status != FREE).sum())
+        n_steps = self._safe_horizon(n_steps, dec)
+        do_sample = self._do_sample()
+        tok = jnp.asarray(self.tokens)
+        lens = jnp.asarray(self.seq_lens)
+        table = jnp.asarray(self.page_table)
+        active = jnp.asarray(dec)
+        eos = jnp.asarray(self.eos)
+        tk = jnp.asarray(self.top_k)
+        tp_ = jnp.asarray(self.top_p)
+        tmp = jnp.asarray(self.temp)
+        done = ~active
+        outs = []
+        for _ in range(n_steps):
+            nxt, self._keys_dev, self.kv = paged_decode_step(
+                self.params, self.kv, self.cfg, tok, lens, table,
+                jnp.logical_and(active, ~done), self._allow_dev,
+                self.ecfg.page_size, self._keys_dev, tk, tp_, tmp,
+                do_sample=do_sample,
+            )
+            nxt = jnp.where(done, 0, nxt)
+            outs.append(nxt)
+            new_done = jnp.logical_or(done, nxt == eos)
+            lens = jnp.where(done, lens, lens + 1)
+            done = new_done
+            tok = nxt
+        toks = np.asarray(jnp.stack(outs, axis=1))  # ONE host sync
+        self.steps += n_steps
+        is_eos = toks == self.eos[:, None]
+        any_eos = is_eos.any(axis=1)
+        eos_pos = is_eos.argmax(axis=1)
+        n_emitted = np.where(dec, np.where(any_eos, eos_pos + 1, n_steps), 0)
+        return self._absorb_multi(dec, toks, n_emitted)
+
+    def _absorb_multi(self, dec: np.ndarray, toks: np.ndarray, n_emitted: np.ndarray) -> int:
         for slot in range(self.ecfg.max_batch_size):
             if not dec[slot]:
                 continue
@@ -588,17 +689,25 @@ class PagedEngine:
                 if len(req.output_ids) > req.max_new_tokens:
                     del req.output_ids[req.max_new_tokens :]
                 self._finish(slot)
+            else:
+                self._reclaim_window(slot)
         return int((self.status != FREE).sum())
+
+    def tick(self) -> int:
+        """One scheduler turn: per-token stepping while admissions/prefills
+        are pending (or under TP), multi-token decode otherwise."""
+        if (self.waiting or self.prefill_order or self.decode_horizon == 1
+                or self.mesh is not None):
+            return self.step()  # keep admitting/prefilling while a queue exists
+        if self.multi_impl == "chain":
+            return self.step_chain(self.decode_horizon)
+        return self.step_multi(self.decode_horizon)
 
     def run(self, requests: List[Request]) -> List[Request]:
         for r in requests:
             self.submit(r)
         while self.waiting or (self.status != FREE).any():
-            if (self.waiting or self.prefill_order or self.decode_horizon == 1
-                    or self.mesh is not None):
-                self.step()  # keep admitting/prefilling while a queue exists
-            else:
-                self.step_multi(self.decode_horizon)
+            self.tick()
         return requests
 
 

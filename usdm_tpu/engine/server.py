@@ -98,7 +98,7 @@ class EngineServer:
                 if not self.engine.busy:
                     self._cv.wait(timeout=self._idle_wait_s)
                     continue
-                self.engine.step()
+                self.engine.tick()
                 for rid, req in list(self._reqs.items()):
                     if req.finished and rid in self._events:
                         self._events[rid].set()

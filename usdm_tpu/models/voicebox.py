@@ -153,7 +153,7 @@ def _attention(lp, x, bias, n_heads):
     return out.reshape(b, t, hdim) @ lp["wo"] + lp["bo"]
 
 
-def _attention_flash(lp, x, seg, pos, n_heads, fwd_only):
+def _attention_flash(lp, x, seg, pos, n_heads):
     """Flash-kernel attention path: ALiBi/pad masking computed in-kernel from
     positions + per-head slopes — no [B, H, T, T] bias materialization."""
     from usdm_tpu.ops.flash_attention import flash_attention
@@ -165,18 +165,18 @@ def _attention_flash(lp, x, seg, pos, n_heads, fwd_only):
     v = (x @ lp["wv"] + lp["bv"]).reshape(b, t, n_heads, d)
     out = flash_attention(
         q, k, v, seg, seg, pos, pos, causal=False, sliding_window=None,
-        scale=d**-0.5, alibi=True, fwd_only=fwd_only,
+        scale=d**-0.5, alibi=True,
     )
     return out.reshape(b, t, hdim) @ lp["wo"] + lp["bo"]
 
 
-def _encoder_layer(cfg, lp, x, y_mask, bias, flash_ctx=None, fwd_only=False):
+def _encoder_layer(cfg, lp, x, y_mask, bias, flash_ctx=None):
     """Post-LN block (networks.py:250-266): residual attn -> mask -> LN ->
     +FFN -> mask -> final LN -> mask."""
     x = x * y_mask
     if flash_ctx is not None:
         seg, pos = flash_ctx
-        h = x + _attention_flash(lp, x, seg, pos, cfg.num_heads, fwd_only)
+        h = x + _attention_flash(lp, x, seg, pos, cfg.num_heads)
     else:
         h = x + _attention(lp, x, bias, cfg.num_heads)
     h = h * y_mask
@@ -213,7 +213,6 @@ def estimator(
     remat: bool = False,  # checkpoint each layer (training at 16 s crops
     # needs it: the scan otherwise saves [L/2, B, H, T, T] attention probs)
     attn_impl: str = "auto",  # auto | flash | xla
-    fwd_only: bool = False,  # inference: flash without the custom_vjp wrapper
 ) -> jnp.ndarray:
     """Vector-field estimate u(x, y, cond, t) -> [B, n_feats, T]."""
     b, T = x_units.shape
@@ -285,7 +284,7 @@ def estimator(
 
     from functools import partial as _partial
 
-    layer_fn = _partial(_encoder_layer, cfg, fwd_only=fwd_only)
+    layer_fn = _partial(_encoder_layer, cfg)
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
@@ -359,14 +358,14 @@ def _cfg_estimate(params, cfg, x, z, cond, lengths, t, gradient_scale):
     """CFG by batch doubling (voicebox.py:60-71): row block 0 = unconditional
     (null units, zero cond), block 1 = conditional; combine (1+s)c - s·u."""
     if gradient_scale <= 0:
-        return estimator(params, cfg, x, z, cond, t, lengths, fwd_only=True)
+        return estimator(params, cfg, x, z, cond, t, lengths)
     b = x.shape[0]
     x2 = jnp.concatenate([jnp.full_like(x, cfg.n_tokens), x], axis=0)
     z2 = jnp.concatenate([z, z], axis=0)
     c2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
     l2 = jnp.concatenate([lengths, lengths], axis=0)
-    d = estimator(params, cfg, x2, z2, c2, t2, l2, fwd_only=True)
+    d = estimator(params, cfg, x2, z2, c2, t2, l2)
     d_un, d_cond = d[:b], d[b:]
     return d_cond + gradient_scale * (d_cond - d_un)
 

@@ -597,9 +597,10 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     alibi: bool = False,  # Voicebox-style symmetric ALiBi, computed in-kernel
     # from the power-of-2 closed-form slopes (head count must be a power of 2)
-    fwd_only: bool = False,  # skip the custom_vjp wrapper (inference paths;
-    # also works around a jax lowering-cache bug with custom_vjp-wrapped
-    # pallas calls inside fori_loop)
+    fwd_only: bool = False,  # skip the custom_vjp wrapper.  Historical: a
+    # jax-0.9 lowering-cache bug made custom_vjp-wrapped pallas calls inside
+    # fori_loop fail to lower; verified fixed (tests/test_flash_attention.py
+    # canary), so no in-tree caller needs this anymore.
 ) -> jnp.ndarray:
     """[B, T, H, d] layout wrapper around the [B, H, T, d] kernel.
 

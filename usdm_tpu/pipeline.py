@@ -42,7 +42,12 @@ class UsdmPipeline:
     xlsr_params: XL.Params
     xlsr_cfg: XlsrConfig
     decoder: SpeechDecoder
-    max_new_tokens: int = 1024
+    # per-stage cap; None = derive from tokenizer.model_max_length metadata
+    # like the reference (inference.py:64, inference_vllm.py:113)
+    max_new_tokens: Optional[int] = None
+    # lazy single-caller serving engine backing respond() (paged decode costs
+    # O(actual tokens); the dense fallback pays O(cache_len) per step)
+    _server: Optional[object] = dataclasses.field(default=None, repr=False, compare=False)
 
     @classmethod
     def from_pretrained(
@@ -118,6 +123,22 @@ class UsdmPipeline:
         return EngineServer(PagedEngine(self.lm_params, self.lm_cfg,
                                         ecfg or EngineConfig(), mesh=mesh))
 
+    def _dialog_server(self):
+        """Lazy EngineServer for the single-caller respond() path (small
+        2-slot pool; concurrent serving builds its own via make_server)."""
+        if self._server is None:
+            from usdm_tpu.core.config import EngineConfig
+
+            # single caller: no admission-latency pressure, long horizon
+            self._server = self.make_server(
+                EngineConfig(max_batch_size=2, decode_horizon=16))
+        return self._server
+
+    def close(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            self._server = None
+
     def respond(
         self,
         input_path: str,
@@ -128,15 +149,29 @@ class UsdmPipeline:
         top_k: int = 1,
         top_p: float = 1.0,
         temperature: float = 1.0,
+        use_paged: bool = True,
     ) -> DialogResult:
         """Full speech-to-speech turn; writes the agent waveform if
         `output_path` is given and returns the intermediate text/units.
         Sampling defaults to greedy like the reference (inference.py:64-82);
-        the demo exposes top_k/top_p/temperature (streamlit_demo.py:195-205)."""
-        policy = DialogPolicy(self.lm_params, self.lm_cfg, self.tokenizer,
-                              max_new_tokens=self.max_new_tokens,
-                              top_k=top_k, top_p=top_p, temperature=temperature,
-                              seed=seed)
+        the demo exposes top_k/top_p/temperature (streamlit_demo.py:195-205).
+
+        `use_paged=True` (default) decodes through the paged engine — cost
+        scales with actual sequence length like the reference's vLLM driver.
+        `use_paged=False` is the dense prefix-reuse path (reference
+        inference.py HF-generate parity)."""
+        if use_paged:
+            from usdm_tpu.engine.server import PagedDialogPolicy
+
+            policy = PagedDialogPolicy(
+                self._dialog_server(), self.tokenizer,
+                max_new_tokens=self.max_new_tokens,
+                top_k=top_k, top_p=top_p, temperature=temperature, seed=seed)
+        else:
+            policy = DialogPolicy(self.lm_params, self.lm_cfg, self.tokenizer,
+                                  max_new_tokens=self.max_new_tokens,
+                                  top_k=top_k, top_p=top_p, temperature=temperature,
+                                  seed=seed)
         return self.respond_with_policy(
             policy, input_path, output_path, reference_path, n_timesteps, seed
         )
