@@ -5,7 +5,7 @@ TPU-native replacement for the reference's vLLM path
 CUDA kernels + per-stage logits processors / SamplingParams).  Design:
 
   * KV memory is a pool of fixed-size pages in HBM:
-    k_pages/v_pages [L, Hkv, N, P, hd].  A host-side free list assigns pages;
+    k_pages/v_pages [Hkv, L*N, P, hd].  A host-side free list assigns pages;
     sequences own scattered pages via a page table [slots, max_pages].
     Admission never reshapes device buffers.
   * Decode is one jitted step over all active slots: embed, 32-layer scan,
@@ -54,13 +54,22 @@ FREE, PREFILL, DECODE = 0, 1, 2
 
 @dataclasses.dataclass
 class PagedKV:
-    k_pages: jnp.ndarray  # [L, Hkv, N, P, hd] (kv-head-major; see paged_attention)
-    v_pages: jnp.ndarray  # [L, Hkv, N, P, hd]
+    """Pool layout [Hkv, L*N, P, hd]: the layer index is FOLDED INTO the page
+    id (layer li's page p lives at li*N + p).  Two wins over the naive
+    [L, Hkv, N, P, hd]: (1) the layer-stack scan carries ONE buffer updated
+    in place by scatter — passing per-layer pools through scan xs/ys forced
+    XLA to materialize a fresh full-pool copy every decode step (measured
+    2.2 GB of temps per step at 2 slots, >half the step time); (2) the Pallas
+    kernel needs no layer axis — callers just offset the page table by li*N.
+    The host-side page table stays layer-relative (ids in [0, N))."""
+
+    k_pages: jnp.ndarray  # [Hkv, L*N, P, hd] (kv-head-major; see paged_attention)
+    v_pages: jnp.ndarray  # [Hkv, L*N, P, hd]
 
     @classmethod
     def create(cls, cfg: MistralConfig, n_pages: int, page_size: int, dtype=None) -> "PagedKV":
         dtype = jnp.dtype(dtype or cfg.dtype)
-        shape = (cfg.num_layers, cfg.num_kv_heads, n_pages, page_size, cfg.head_dim)
+        shape = (cfg.num_kv_heads, cfg.num_layers * n_pages, page_size, cfg.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -117,16 +126,19 @@ def paged_decode_step(
     x = params["embed"].astype(cdt)[tokens][:, None, :]
     cos, sin = M.rope_tables(pos[:, None], cfg.head_dim, cfg.rope_theta)
 
-    page_ids = page_table[jnp.arange(b), pos // page_size]  # [B]
+    n_pages = kv.k_pages.shape[1] // cfg.num_layers
+    page_ids = page_table[jnp.arange(b), pos // page_size]  # [B] layer-relative
     # inactive slots must not scribble over pages that may have been freed
     # and reassigned: route their writes to the reserved trash page (last
-    # page of the pool, never allocated).
-    trash = kv.k_pages.shape[2] - 1
+    # page of each layer's region, never allocated).
+    trash = n_pages - 1
     page_ids = jnp.where(active, page_ids, trash)
     offs = pos % page_size
 
-    def body(x, xs):
-        lp, k_l, v_l = xs
+    def body(carry, xs):
+        x, k_pool, v_pool = carry
+        lp, li = xs
+        base = li * n_pages  # this layer's region of the folded page axis
         y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
         q = qmm(y, lp["wq"]).reshape(b, 1, h, hd)
         kk = qmm(y, lp["wk"]).reshape(b, hkv, hd)
@@ -134,9 +146,17 @@ def paged_decode_step(
         q = M.apply_rope(q, cos, sin)
         kk = M.apply_rope(kk[:, None], cos, sin)[:, 0]
 
-        # k_l: [Hkv, N, P, hd]; write each slot's new kv at its page/offset
-        k_l = k_l.at[:, page_ids, offs].set(jnp.swapaxes(kk, 0, 1).astype(k_l.dtype))
-        v_l = v_l.at[:, page_ids, offs].set(jnp.swapaxes(vv, 0, 1).astype(v_l.dtype))
+        # write each slot's new kv at its (layer-offset) page/offset.  One
+        # dynamic_update_slice per slot (static unroll, [Hkv, 1, 1, hd] each):
+        # DUS on the scan carry updates the pool IN PLACE, where a batched
+        # scatter made XLA materialize a fresh full-pool copy every step
+        # (measured 2.2 GB of temps and ~10x the step time at 2 slots).
+        upd_k = jnp.swapaxes(kk, 0, 1).astype(k_pool.dtype)  # [Hkv, B, hd]
+        upd_v = jnp.swapaxes(vv, 0, 1).astype(v_pool.dtype)
+        for bi in range(b):
+            at = (jnp.int32(0), base + page_ids[bi], offs[bi], jnp.int32(0))
+            k_pool = jax.lax.dynamic_update_slice(k_pool, upd_k[:, bi][:, None, None, :], at)
+            v_pool = jax.lax.dynamic_update_slice(v_pool, upd_v[:, bi][:, None, None, :], at)
 
         g = h // hkv
         qg = q[:, 0].reshape(b, hkv, g, hd)  # heads grouped per kv head
@@ -146,13 +166,15 @@ def paged_decode_step(
             from usdm_tpu.ops.paged_attention import paged_decode_attention
 
             attn = paged_decode_attention(
-                qg, k_l, v_l, page_table, pos + 1, sliding_window=cfg.sliding_window
+                qg, k_pool, v_pool, page_table + base, pos + 1,
+                sliding_window=cfg.sliding_window,
             )
         else:
             from usdm_tpu.ops.paged_attention import paged_decode_attention_reference
 
             attn = paged_decode_attention_reference(
-                qg, k_l, v_l, page_table, pos + 1, sliding_window=cfg.sliding_window
+                qg, k_pool, v_pool, page_table + base, pos + 1,
+                sliding_window=cfg.sliding_window,
             )
         attn = attn.reshape(b, 1, h * hd)
         x = x + _psum(qmm(attn, lp["wo"]), tp_axis)
@@ -161,9 +183,12 @@ def paged_decode_step(
             qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"]),
             tp_axis,
         )
-        return x, (k_l, v_l)
+        return (x, k_pool, v_pool), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], kv.k_pages, kv.v_pages))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, kv.k_pages, kv.v_pages),
+        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    )
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x[:, 0] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
     if tp_axis is not None:  # lm_head is vocab-sharded: assemble full logits
@@ -214,9 +239,10 @@ def paged_prefill_chunk(
     cos, sin = M.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
     # write targets: chunk token i lives at global index start+i
+    n_pages = kv.k_pages.shape[1] // cfg.num_layers
     gidx = start + jnp.arange(c)
     pages_t = page_table_row[jnp.minimum(gidx // p, page_table_row.shape[0] - 1)]
-    trash = kv.k_pages.shape[2] - 1
+    trash = n_pages - 1
     pages_t = jnp.where(jnp.arange(c) < n_valid, pages_t, trash)
     offs_t = gidx % p
 
@@ -226,8 +252,10 @@ def paged_prefill_chunk(
     kv_pos = jnp.arange(s_ctx)[None]  # [1, S_ctx]
     kv_seg = jnp.where(kv_pos < start + n_valid, 0, -1)
 
-    def body(x, xs):
-        lp, k_l, v_l = xs
+    def body(carry, xs):
+        x, k_pool, v_pool = carry
+        lp, li = xs
+        base = li * n_pages
         y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
         q = qmm(y, lp["wq"]).reshape(1, c, h, hd)
         kk = qmm(y, lp["wk"]).reshape(1, c, hkv, hd)
@@ -235,12 +263,33 @@ def paged_prefill_chunk(
         q = M.apply_rope(q, cos, sin)
         kk = M.apply_rope(kk, cos, sin)
 
-        k_l = k_l.at[:, pages_t, offs_t].set(kk[0].transpose(1, 0, 2).astype(k_l.dtype))
-        v_l = v_l.at[:, pages_t, offs_t].set(vv[0].transpose(1, 0, 2).astype(v_l.dtype))
+        kk_t = kk[0].transpose(1, 0, 2).astype(k_pool.dtype)  # [Hkv, C, hd]
+        vv_t = vv[0].transpose(1, 0, 2).astype(v_pool.dtype)
+        if c % p == 0:
+            # chunk starts are always multiples of the (static) chunk size, so
+            # when the page size divides the chunk, the chunk covers exactly
+            # c/p whole pages: write each as one in-place dynamic_update_slice
+            # (the batched scatter forces XLA to copy the full pool — see the
+            # decode-step comment).  Fully-invalid pages (beyond n_valid, i.e.
+            # past this prompt's page allocation) go to the trash page;
+            # partially-valid pages keep their padding garbage, which kv_len
+            # masking hides and later writes overwrite.
+            kk_p = kk_t.reshape(hkv, c // p, p, hd)
+            vv_p = vv_t.reshape(hkv, c // p, p, hd)
+            maxp = page_table_row.shape[0]
+            for j in range(c // p):
+                pg = page_table_row[jnp.minimum(start // p + j, maxp - 1)]
+                pg = jnp.where(j * p < n_valid, pg, trash)
+                at = (jnp.int32(0), base + pg, jnp.int32(0), jnp.int32(0))
+                k_pool = jax.lax.dynamic_update_slice(k_pool, kk_p[:, j][:, None], at)
+                v_pool = jax.lax.dynamic_update_slice(v_pool, vv_p[:, j][:, None], at)
+        else:  # unaligned (small-page test geometries): scatter fallback
+            k_pool = k_pool.at[:, base + pages_t, offs_t].set(kk_t)
+            v_pool = v_pool.at[:, base + pages_t, offs_t].set(vv_t)
 
         # gather this request's context (including the chunk just written)
-        kc = k_l[:, row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
-        vc = v_l[:, row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+        kc = k_pool[:, base + row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+        vc = v_pool[:, base + row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
         attn = mha(
             q, kc.astype(cdt), vc.astype(cdt),
             q_segment_ids=q_seg, kv_segment_ids=kv_seg,
@@ -253,9 +302,12 @@ def paged_prefill_chunk(
             qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]), lp["w_down"]),
             tp_axis,
         )
-        return x, (k_l, v_l)
+        return (x, k_pool, v_pool), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], kv.k_pages, kv.v_pages))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, kv.k_pages, kv.v_pages),
+        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    )
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = jnp.clip(n_valid - 1, 0, c - 1)
     logits = (x[0, last] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
@@ -342,6 +394,7 @@ class PagedEngine:
         ps = ecfg.page_size
         # +1: the last page is a reserved scratch target for inactive slots
         n_pages = (ecfg.n_pages or ecfg.max_batch_size * ecfg.max_pages_per_seq) + 1
+        self.n_pages = n_pages
         self.kv = PagedKV.create(cfg, n_pages, ps)
         if mesh is not None:
             from usdm_tpu.engine import tp as TP
@@ -516,7 +569,7 @@ class PagedEngine:
         # the next decode step (kv_len = seq_lens+1) reads positions
         # >= kv_len-1-w = seq_lens-w (kernel: ops/paged_attention.py:71,141)
         first_needed = max(int(self.seq_lens[slot]) - w, 0) // ps
-        trash = self.kv.k_pages.shape[2] - 1
+        trash = self.n_pages - 1
         r = int(self.released[slot])
         while r < first_needed and r < len(self.slot_pages[slot]):
             self.free_pages.append(self.slot_pages[slot][r])

@@ -83,7 +83,7 @@ def _spec_tree(params: M.Params):
     }
 
 
-KV_SPEC = P(None, AXIS, None, None, None)  # pages split over kv heads
+KV_SPEC = P(AXIS, None, None, None)  # [Hkv, L*N, P, d] pool split over kv heads
 
 
 def shard_params(params: M.Params, mesh: Mesh, cfg: MistralConfig) -> M.Params:
