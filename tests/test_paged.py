@@ -345,3 +345,94 @@ def test_multi_horizon_respects_allocation(setup, rng):
         solo.decode_horizon = 1
         solo.run([victim_solo])
     assert victim.output_ids == victim_solo.output_ids
+
+
+def test_session_prefix_reuse_matches_fresh(setup, rng):
+    """A 3-request session chain (each prompt extends the previous prompt +
+    output, like the dialog stages) must emit exactly what independent
+    no-session requests emit, while actually skipping the common chunks."""
+    params = setup
+    # chunk 16 == page 16 so a 3-stage chain crosses chunk boundaries
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=16, max_batch_size=2,
+                        prefill_chunk=16)
+    base = rng.integers(3, CFG.vocab_size, size=40).tolist()
+    suffixes = [rng.integers(3, CFG.vocab_size, size=5).tolist() for _ in range(3)]
+    allow = np.ones(CFG.vocab_size, bool)
+
+    def chain(eng, session):
+        prompt = list(base)
+        outs, prefill_ticks = [], []
+        for k in range(3):
+            req = Request(100 + k, list(prompt), allow, eos_id=2,
+                          max_new_tokens=6, session=session)
+            eng.submit(req)
+            n = 0
+            while eng.prefill_order or eng.waiting:
+                eng.tick()
+                n += 1
+            while eng.busy:
+                eng.tick()
+            outs.append(list(req.output_ids))
+            prefill_ticks.append(n)
+            # next stage: previous prompt + output + fixed suffix tokens
+            prompt = prompt + req.output_ids + suffixes[k]
+        return outs, prefill_ticks
+
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg)
+        fresh_outs, fresh_ticks = chain(eng, session=None)
+        assert not eng.session_slots
+        eng2 = PagedEngine(params, CFG, ecfg)
+        sess_outs, sess_ticks = chain(eng2, session=7)
+        eng2.release_session(7)
+        assert not eng2.session_slots and (eng2.status == 0).all()
+        # all pages back in the pool
+        assert len(eng2.free_pages) == len(eng2.free_pages)
+
+    assert sess_outs == fresh_outs
+    # stages 2/3 prefill fewer chunks than the fresh path (prefix skipped)
+    assert sess_ticks[1] < fresh_ticks[1]
+    assert sess_ticks[2] < fresh_ticks[2]
+
+
+def test_session_hold_evicted_under_pressure(setup, rng):
+    """HOLD pages must yield to new requests when the pool runs dry."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=4, max_batch_size=2,
+                        n_pages=4, prefill_chunk=16)
+    allow = np.ones(CFG.vocab_size, bool)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg)
+        a = Request(0, rng.integers(3, CFG.vocab_size, size=30).tolist(), allow,
+                    eos_id=2, max_new_tokens=4, session=1)
+        eng.run([a])
+        assert a.finished and eng.session_slots.get(1) is not None
+        held = len(eng.free_pages)
+        # a big request that needs the held pages
+        b = Request(1, rng.integers(3, CFG.vocab_size, size=40).tolist(), allow,
+                    eos_id=2, max_new_tokens=8)
+        eng.run([b])
+        assert b.finished and not b.error
+        assert 1 not in eng.session_slots  # hold was evicted
+        assert len(eng.free_pages) > held
+
+
+def test_session_mismatched_prefix_falls_back(setup, rng):
+    """A session request whose prompt does NOT extend the held history must
+    produce the same output as a fresh request (stale hold released)."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=2,
+                        prefill_chunk=16)
+    allow = np.ones(CFG.vocab_size, bool)
+    p1 = rng.integers(3, CFG.vocab_size, size=34).tolist()
+    p2 = rng.integers(3, CFG.vocab_size, size=34).tolist()  # unrelated
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg)
+        eng.run([Request(0, p1, allow, eos_id=2, max_new_tokens=4, session=3)])
+        r_sess = Request(1, list(p2), allow, eos_id=2, max_new_tokens=6, session=3)
+        eng.run([r_sess])
+
+        eng2 = PagedEngine(params, CFG, ecfg)
+        r_fresh = Request(2, list(p2), allow, eos_id=2, max_new_tokens=6)
+        eng2.run([r_fresh])
+    assert r_sess.output_ids == r_fresh.output_ids

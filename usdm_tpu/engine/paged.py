@@ -43,8 +43,9 @@ from usdm_tpu.models.quant import qmm
 from usdm_tpu.ops.attention import mha
 from usdm_tpu.ops.sampling import NEG_INF, sample_batched, split_keys
 
-# slot states
-FREE, PREFILL, DECODE = 0, 1, 2
+# slot states (HOLD: finished request whose pages are retained for prefix
+# reuse by the next request of the same session — vLLM prefix caching)
+FREE, PREFILL, DECODE, HOLD = 0, 1, 2, 3
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +86,8 @@ def _proj_dim(w) -> int:
     return (w["q"] if isinstance(w, dict) else w).shape[-1]
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample", "tp_axis"),
+@partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample", "tp_axis",
+                                   "needs_filter"),
          donate_argnums=(1,))
 def paged_decode_step(
     params: M.Params,
@@ -103,6 +105,7 @@ def paged_decode_step(
     temperature: jnp.ndarray,  # [B] f32
     do_sample: bool = False,
     tp_axis: Optional[str] = None,
+    needs_filter: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, PagedKV]:
     """One decode step for every active slot -> (next_token [B], keys', kv').
 
@@ -196,11 +199,53 @@ def paged_decode_step(
     logits = jnp.where(allow_masks, logits, NEG_INF)
     if do_sample:
         keys, use = split_keys(keys)
-        nxt = sample_batched(logits, use, top_k, top_p, temperature)
+        nxt = sample_batched(logits, use, top_k, top_p, temperature,
+                             needs_filter=needs_filter)
     else:
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     nxt = jnp.where(active, nxt, 0)
     return nxt, keys, PagedKV(new_k, new_v)
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample",
+                                   "needs_filter"),
+         donate_argnums=(1,))
+def paged_decode_step_chained(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    tokens: jnp.ndarray,  # [B] previous step's token
+    seq_lens: jnp.ndarray,  # [B]
+    page_table: jnp.ndarray,  # [B, maxp]
+    active: jnp.ndarray,  # [B] bool (slot is DECODE this chain)
+    done: jnp.ndarray,  # [B] bool (slot hit its EOS earlier in the chain)
+    eos_ids: jnp.ndarray,  # [B]
+    allow_masks: jnp.ndarray,
+    page_size: int,
+    keys: jnp.ndarray,
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    temperature: jnp.ndarray,
+    do_sample: bool = False,
+    needs_filter: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
+    """One chained decode step with the EOS-freeze bookkeeping folded in:
+    -> (token [B], done' [B], seq_lens' [B], keys', kv').
+
+    `step_chain` dispatches this N times back-to-back with ONE host sync at
+    the end; folding the freeze/length updates into the jit makes each link
+    a single dispatch instead of one decode call plus four elementwise ops
+    (the extra dispatches cost ~1 ms/token over the tunnel)."""
+    nxt, keys, kv = paged_decode_step.__wrapped__(
+        params, kv, cfg, tokens, seq_lens, page_table,
+        jnp.logical_and(active, ~done), allow_masks, page_size,
+        keys, top_k, top_p, temperature,
+        do_sample=do_sample, needs_filter=needs_filter,
+    )
+    nxt = jnp.where(done, 0, nxt)
+    new_done = jnp.logical_or(done, nxt == eos_ids)
+    new_lens = jnp.where(done, seq_lens, seq_lens + 1)
+    return nxt, new_done, new_lens, keys, kv
 
 
 @partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
@@ -357,6 +402,11 @@ class Request:
     top_p: float = 1.0
     temperature: float = 1.0
     seed: int = 0
+    # prefix-reuse session (vLLM prefix caching analog): requests sharing a
+    # session id reuse the KV of their longest common token prefix with the
+    # session's previous request — the 3-stage dialog chain re-prefills only
+    # each stage's new suffix instead of the whole conversation so far.
+    session: Optional[int] = None
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -426,6 +476,11 @@ class PagedEngine:
         self.prefill_pos = np.zeros(b, np.int32)  # prompt tokens written so far
         self.prefill_order: List[int] = []  # FCFS queue of PREFILL slots
         self.waiting: List[Request] = []
+        # prefix reuse: session -> HOLD slot, and per-slot token history whose
+        # KV the held pages cover (kv-written length = seq_lens[slot])
+        self.session_slots: dict = {}
+        self.slot_history: List[List[int]] = [[] for _ in range(b)]
+        self._hold_order: List[int] = []  # LRU for eviction under pressure
         self.steps = 0
         # device-side decode horizon: sync with the host every N tokens when
         # no admissions are pending.  multi_impl="chain" (step_chain) keeps
@@ -436,6 +491,7 @@ class PagedEngine:
         # fused8 49).
         self.decode_horizon = ecfg.decode_horizon
         self.multi_impl = "chain"
+        self._chain_streak = 0  # consecutive chains with a stable decode set
 
     @property
     def active(self) -> np.ndarray:
@@ -444,7 +500,9 @@ class PagedEngine:
 
     @property
     def busy(self) -> bool:
-        return bool(self.waiting or (self.status != FREE).any())
+        """Work pending (HOLD slots are idle capacity, not work)."""
+        return bool(self.waiting
+                    or ((self.status == PREFILL) | (self.status == DECODE)).any())
 
     # ------------------------------------------------------------ scheduling
     def submit(self, req: Request) -> None:
@@ -456,15 +514,64 @@ class PagedEngine:
     def _free_slots(self) -> List[int]:
         return [s for s in range(self.ecfg.max_batch_size) if self.status[s] == FREE]
 
+    def _reuse_start(self, req: Request) -> int:
+        """Chunk-aligned prefill resume point for a session request against
+        its held predecessor, or 0 (full prefill).
+
+        The longest common token prefix of the new prompt and the held
+        (prompt + output) history, clipped to the kv-written length, then
+        rounded DOWN to a prefill-chunk multiple — chunk starts must stay
+        chunk-aligned for the page-aligned prefill write path, and the ≤1
+        re-prefilled chunk rewrites bit-identical KV (same tokens, same
+        positions, same weights)."""
+        slot = self.session_slots.get(req.session)
+        if slot is None or self.status[slot] != HOLD:
+            return 0
+        if int(self.released[slot]) != 0:
+            # window-reclaimed leading pages are gone; a shorter successor
+            # sequence's attention window could reach below the reclaimed
+            # region, so only an intact prefix is reusable
+            return 0
+        hist = self.slot_history[slot]
+        limit = min(len(req.prompt_ids), len(hist), int(self.seq_lens[slot]))
+        common = 0
+        while common < limit and req.prompt_ids[common] == hist[common]:
+            common += 1
+        return (common // self.ecfg.prefill_chunk) * self.ecfg.prefill_chunk
+
+    def _admit_into(self, req: Request, slot: int, start: int, extra: List[int]) -> None:
+        """Bind `req` to `slot`, prefilling from `start` (pages already owned
+        plus `extra` fresh ones)."""
+        self.slot_pages[slot] = self.slot_pages[slot] + extra
+        row = np.full(self.ecfg.max_pages_per_seq, self.n_pages - 1, np.int32)
+        row[: len(self.slot_pages[slot])] = self.slot_pages[slot]
+        # leading pages already reclaimed by the sliding window stay trashed
+        row[: int(self.released[slot])] = self.n_pages - 1
+        self.page_table[slot] = row
+        self.slot_req[slot] = req
+        self.slot_history[slot] = []
+        self.status[slot] = PREFILL
+        self._chain_streak = 0
+        self.prefill_pos[slot] = start
+        self.prefill_order.append(slot)
+        self.top_k[slot] = req.top_k
+        self.top_p[slot] = req.top_p
+        self.temp[slot] = req.temperature
+        self.eos[slot] = req.eos_id
+        self._allow_dev = self._allow_dev.at[slot].set(jnp.asarray(req.allow_mask))
+        key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
+        self._keys_dev = self._keys_dev.at[slot].set(jnp.asarray(key))
+
     def _try_admit(self) -> None:
         """Assign waiting requests to free slots + pages (no compute here).
 
         FCFS with skip: a request that doesn't fit right now doesn't block
         smaller ones behind it (the round-1 head-of-line `break` is gone).
+        Session requests resume on their held slot when the prefix matches;
+        HOLD slots are evicted LRU when capacity is needed.
         """
-        slots = self._free_slots()
         i = 0
-        while i < len(self.waiting) and slots:
+        while i < len(self.waiting):
             req = self.waiting[i]
             need = self._pages_needed(len(req.prompt_ids) + req.max_new_tokens)
             if need > self.ecfg.max_pages_per_seq:
@@ -476,27 +583,39 @@ class PagedEngine:
                 req.finished = True
                 self.waiting.pop(i)
                 continue
-            if need > len(self.free_pages):
+
+            # session fast path: resume on the held slot, prefill the suffix
+            start = self._reuse_start(req) if req.session is not None else 0
+            if start > 0:
+                slot = self.session_slots[req.session]
+                extra_need = need - len(self.slot_pages[slot])
+                if extra_need <= len(self.free_pages):
+                    del self.session_slots[req.session]
+                    self._hold_order.remove(slot)
+                    extra = [self.free_pages.pop() for _ in range(max(extra_need, 0))]
+                    self.waiting.pop(i)
+                    self._admit_into(req, slot, start, extra)
+                    continue
+
+            slots = self._free_slots()
+            if not slots and self._hold_order:
+                self._release_hold(self._hold_order[0])  # LRU eviction
+                slots = self._free_slots()
+            while need > len(self.free_pages) and self._hold_order:
+                self._release_hold(self._hold_order[0])
+            if not slots or need > len(self.free_pages):
                 i += 1
                 continue
+            if req.session is not None:  # stale hold that didn't match
+                slot_h = self.session_slots.get(req.session)
+                if slot_h is not None:
+                    self._release_hold(slot_h)
             self.waiting.pop(i)
-            slot = slots.pop(0)
-            pages = [self.free_pages.pop() for _ in range(need)]
-            self.slot_pages[slot] = pages
-            row = np.zeros(self.ecfg.max_pages_per_seq, np.int32)
-            row[: len(pages)] = pages
-            self.page_table[slot] = row
-            self.slot_req[slot] = req
-            self.status[slot] = PREFILL
-            self.prefill_pos[slot] = 0
-            self.prefill_order.append(slot)
-            self.top_k[slot] = req.top_k
-            self.top_p[slot] = req.top_p
-            self.temp[slot] = req.temperature
-            self.eos[slot] = req.eos_id
-            self._allow_dev = self._allow_dev.at[slot].set(jnp.asarray(req.allow_mask))
-            key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
-            self._keys_dev = self._keys_dev.at[slot].set(jnp.asarray(key))
+            slot = slots[0]
+            self.released[slot] = 0
+            self.slot_pages[slot] = []
+            extra = [self.free_pages.pop() for _ in range(need)]
+            self._admit_into(req, slot, 0, extra)
 
     def _prefill_tick(self) -> None:
         """Advance the oldest prefilling request by one chunk."""
@@ -545,14 +664,49 @@ class PagedEngine:
 
     def _finish(self, slot: int) -> None:
         req = self.slot_req[slot]
+        self._chain_streak = 0
         if req is not None:
             req.finished = True
+        if req is not None and req.session is not None:
+            # retain the pages: the session's next request reuses the KV of
+            # its common prefix with (prompt + output).  seq_lens[slot] stays
+            # as the kv-written length (the last emitted token has no KV).
+            self.slot_history[slot] = list(req.prompt_ids) + list(req.output_ids)
+            old = self.session_slots.get(req.session)
+            if old is not None and old != slot:
+                self._release_hold(old)
+            self.session_slots[req.session] = slot
+            self.status[slot] = HOLD
+            self.slot_req[slot] = None
+            self._hold_order.append(slot)
+            return
         # pages before self.released[slot] were already reclaimed mid-flight
         self.free_pages.extend(self.slot_pages[slot][int(self.released[slot]):])
         self.slot_pages[slot] = []
         self.released[slot] = 0
         self.status[slot] = FREE
         self.slot_req[slot] = None
+
+    def _release_hold(self, slot: int) -> None:
+        """Drop a HOLD slot's retained pages back to the free pool."""
+        if self.status[slot] != HOLD:
+            return
+        self.free_pages.extend(self.slot_pages[slot][int(self.released[slot]):])
+        self.slot_pages[slot] = []
+        self.released[slot] = 0
+        self.slot_history[slot] = []
+        self.status[slot] = FREE
+        if slot in self._hold_order:
+            self._hold_order.remove(slot)
+        for s, sl in list(self.session_slots.items()):
+            if sl == slot:
+                del self.session_slots[s]
+
+    def release_session(self, session: int) -> None:
+        """Dialog over: free the session's held pages (no-op if none)."""
+        slot = self.session_slots.get(session)
+        if slot is not None:
+            self._release_hold(slot)
 
     def _reclaim_window(self, slot: int) -> None:
         """Return pages wholly below the sliding window to the free pool.
@@ -583,6 +737,15 @@ class PagedEngine:
             for s, r in enumerate(self.slot_req)
         )
 
+    def _needs_filter(self) -> bool:
+        """Any decoding slot with an actual top-k/top-p filter (pure
+        temperature sampling skips the vocab sort — a static jit arg)."""
+        return any(
+            r is not None and self.status[s] == DECODE
+            and (r.top_k > 1 or r.top_p < 1.0)
+            for s, r in enumerate(self.slot_req)
+        )
+
     # ------------------------------------------------------------------ run
     def step(self) -> int:
         """Admit + one prefill chunk + one decode step.
@@ -610,6 +773,7 @@ class PagedEngine:
                 self._allow_dev, self.ecfg.page_size,
                 self._keys_dev, jnp.asarray(self.top_k), jnp.asarray(self.top_p),
                 jnp.asarray(self.temp), do_sample=self._do_sample(),
+                needs_filter=self._needs_filter(),
             )
         nxt = np.asarray(nxt)
         self.steps += 1
@@ -678,13 +842,18 @@ class PagedEngine:
 
         Keeps the back-to-back dispatch schedule XLA runs ~2x faster than the
         fused fori_loop (`paged_decode_multi`, measured on v5e) while still
-        amortizing the host round-trip over n_steps tokens: each step's next
-        token feeds the following dispatch as a device array; EOS freezing is
-        a couple of tiny async device ops between dispatches."""
+        amortizing the host round-trip over n_steps tokens: each link is ONE
+        dispatch of `paged_decode_step_chained` (EOS freeze + length update
+        folded into the jit).  Chains RAMP 4 -> 8 -> ... up to n_steps while
+        the decoding set is unchanged: steady-state pays one sync per
+        n_steps tokens, but a request that hits EOS early wastes at most the
+        current (short) chain's tail, not a full horizon."""
         if self.mesh is not None:
             return self.step()
         self._try_admit()
         self._prefill_tick()
+        n_steps = min(n_steps, 4 << min(self._chain_streak, 8))
+        self._chain_streak += 1
         dec = self.status == DECODE
         if not dec.any():
             return int((self.status != FREE).sum())
@@ -701,18 +870,13 @@ class PagedEngine:
         done = ~active
         outs = []
         for _ in range(n_steps):
-            nxt, self._keys_dev, self.kv = paged_decode_step(
+            tok, done, lens, self._keys_dev, self.kv = paged_decode_step_chained(
                 self.params, self.kv, self.cfg, tok, lens, table,
-                jnp.logical_and(active, ~done), self._allow_dev,
+                active, done, eos, self._allow_dev,
                 self.ecfg.page_size, self._keys_dev, tk, tp_, tmp,
-                do_sample=do_sample,
+                do_sample=do_sample, needs_filter=self._needs_filter(),
             )
-            nxt = jnp.where(done, 0, nxt)
-            outs.append(nxt)
-            new_done = jnp.logical_or(done, nxt == eos)
-            lens = jnp.where(done, lens, lens + 1)
-            done = new_done
-            tok = nxt
+            outs.append(tok)
         toks = np.asarray(jnp.stack(outs, axis=1))  # ONE host sync
         self.steps += n_steps
         is_eos = toks == self.eos[:, None]
@@ -759,7 +923,7 @@ class PagedEngine:
     def run(self, requests: List[Request]) -> List[Request]:
         for r in requests:
             self.submit(r)
-        while self.waiting or (self.status != FREE).any():
+        while self.busy:
             self.tick()
         return requests
 

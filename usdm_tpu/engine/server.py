@@ -36,6 +36,7 @@ class EngineServer:
         self._events: Dict[int, threading.Event] = {}
         self._reqs: Dict[int, Request] = {}
         self._ids = itertools.count()
+        self._session_ids = itertools.count(1)
         self._running = True
         self._idle_wait_s = idle_wait_s
         self._thread = threading.Thread(target=self._loop, daemon=True, name="paged-engine")
@@ -53,12 +54,17 @@ class EngineServer:
         temperature: float = 1.0,
         seed: int = 0,
         timeout: Optional[float] = None,
+        session: Optional[int] = None,
     ) -> List[int]:
-        """Submit one generation; blocks until it finishes, returns tokens."""
+        """Submit one generation; blocks until it finishes, returns tokens.
+
+        `session` (from `new_session()`) chains requests for KV prefix reuse;
+        call `release_session` when the conversation ends."""
         rid = next(self._ids)
         req = Request(
             rid, list(prompt_ids), allow_mask, eos_id, max_new_tokens,
             top_k=top_k, top_p=top_p, temperature=temperature, seed=seed,
+            session=session,
         )
         ev = threading.Event()
         with self._cv:
@@ -76,6 +82,15 @@ class EngineServer:
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.output_ids
+
+    def new_session(self) -> int:
+        """Fresh id for a chain of prefix-sharing requests."""
+        with self._cv:
+            return next(self._session_ids)
+
+    def release_session(self, session: int) -> None:
+        with self._cv:
+            self.engine.release_session(session)
 
     def close(self) -> None:
         with self._cv:
@@ -133,6 +148,7 @@ class PagedDialogPolicy:
         self.temperature = temperature
         self.seed = seed
         self._stage_idx = 0
+        self._session: Optional[int] = None
 
     def _budget(self, n_prompt: int) -> int:
         ecfg = self.server.engine.ecfg
@@ -155,8 +171,17 @@ class PagedDialogPolicy:
             temperature=self.temperature,
             # distinct deterministic stream per stage of this conversation
             seed=self.seed * 1000003 + self._stage_idx,
+            session=self._session,
         )
 
     def respond_to_units(self, user_units: List[int]) -> DialogResult:
         self._stage_idx = 0
-        return run_dialog(self.tok, self._run_stage, user_units)
+        # one engine session across the 3 stages: stage B/C re-prefill only
+        # their new template suffix (the dense DialogPolicy reuses its KV
+        # cache the same way; the reference re-prefills every stage)
+        self._session = self.server.new_session()
+        try:
+            return run_dialog(self.tok, self._run_stage, user_units)
+        finally:
+            self.server.release_session(self._session)
+            self._session = None

@@ -93,6 +93,8 @@ def sample_batched(
     top_k: jnp.ndarray,  # [B] int32; 1 = greedy row, <=0 = no k-filter
     top_p: jnp.ndarray,  # [B] f32; >=1 = no p-filter
     temperature: jnp.ndarray,  # [B] f32
+    needs_filter: bool = True,  # trace-time: False when no row filters
+    # (top_k<=1 and top_p>=1 everywhere) — skips the vocab sort entirely
 ) -> jnp.ndarray:
     """Per-row dynamic top-k -> top-p -> categorical sampling.
 
@@ -106,6 +108,9 @@ def sample_batched(
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     scaled = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    if not needs_filter:  # pure temperature sampling: no sort needed
+        sampled = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
+        return jnp.where(top_k == 1, greedy, sampled)
     sdesc = jnp.sort(scaled, axis=-1)[:, ::-1]
     # top-k: in descending order the post-k-filter array just zeroes the tail,
     # so one sort serves both filters.

@@ -129,9 +129,11 @@ class UsdmPipeline:
         if self._server is None:
             from usdm_tpu.core.config import EngineConfig
 
-            # single caller: no admission-latency pressure, long horizon
+            # single caller: one slot (each extra slot pads every decode
+            # dispatch), long horizon; the 3-stage session HOLDs and reuses
+            # this slot's pages across stages
             self._server = self.make_server(
-                EngineConfig(max_batch_size=2, decode_horizon=16))
+                EngineConfig(max_batch_size=1, decode_horizon=32))
         return self._server
 
     def close(self) -> None:
