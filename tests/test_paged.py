@@ -436,3 +436,85 @@ def test_session_mismatched_prefix_falls_back(setup, rng):
         r_fresh = Request(2, list(p2), allow, eos_id=2, max_new_tokens=6)
         eng2.run([r_fresh])
     assert r_sess.output_ids == r_fresh.output_ids
+
+
+# ---------------------------------------------------------------- speculative
+
+
+def _spec_engines(params, draft_params, ecfg, spec_k):
+    e_plain = PagedEngine(params, CFG, ecfg.replace(spec_k=0))
+    e_spec = PagedEngine(params, CFG, ecfg.replace(spec_k=spec_k),
+                         draft=(draft_params, CFG))
+    return e_plain, e_spec
+
+
+@pytest.mark.parametrize("draft_kind", ["same", "random"])
+def test_speculative_output_equals_greedy(setup, rng, draft_kind):
+    """THE speculative-decoding invariant: for ANY draft model the emitted
+    tokens equal plain greedy decode — only the speed depends on the draft.
+    draft=same (100% acceptance) and draft=random (near-0 acceptance) probe
+    both extremes."""
+    params = setup
+    draft = params if draft_kind == "same" else M.init_params(
+        CFG, jax.random.PRNGKey(99), dtype="float32")
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=2,
+                        prefill_chunk=16)
+    with jax.default_matmul_precision("highest"):
+        e_plain, e_spec = _spec_engines(params, draft, ecfg, spec_k=3)
+        reqs_a = [_req(rng, i, n=11 + i, max_new=13) for i in range(2)]
+        reqs_b = [Request(r.req_id, list(r.prompt_ids), r.allow_mask,
+                          r.eos_id, r.max_new_tokens) for r in reqs_a]
+        e_plain.run(reqs_a)
+        e_spec.run(reqs_b)
+    for a, b in zip(reqs_a, reqs_b):
+        assert a.output_ids == b.output_ids, (a.output_ids, b.output_ids)
+    if draft_kind == "same":
+        # perfect agreement: every round accepts the full K+1 tokens per
+        # participating slot (multi-slot rounds emit more; tails where the
+        # budget remainder < K+1 fall back to plain steps)
+        assert e_spec.spec_rounds > 0
+        assert e_spec.spec_emitted >= e_spec.spec_rounds * (3 + 1) - 2
+
+
+def test_speculative_respects_eos_and_budget(setup, rng):
+    """EOS inside an accepted run truncates the round; outputs still match
+    plain greedy including the stop position."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=1,
+                        prefill_chunk=16)
+    prompt = rng.integers(3, CFG.vocab_size, size=9).tolist()
+    allow = np.ones(CFG.vocab_size, bool)
+    with jax.default_matmul_precision("highest"):
+        # pick an eos that the model actually emits: run greedy first, use
+        # its 4th output token as the eos for both runs
+        probe = Request(0, list(prompt), allow, eos_id=-1, max_new_tokens=12)
+        PagedEngine(params, CFG, ecfg).run([probe])
+        eos = probe.output_ids[3]
+        e_plain, e_spec = _spec_engines(params, params, ecfg, spec_k=4)
+        ra = Request(1, list(prompt), allow, eos_id=eos, max_new_tokens=12)
+        rb = Request(2, list(prompt), allow, eos_id=eos, max_new_tokens=12)
+        e_plain.run([ra])
+        e_spec.run([rb])
+    assert ra.output_ids == rb.output_ids
+    assert ra.output_ids[-1] == eos
+
+
+def test_speculative_sampled_requests_fall_back(setup, rng):
+    """Sampled requests must NOT speculate (greedy-only) but still finish
+    correctly on a spec-enabled engine."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=2,
+                        prefill_chunk=16)
+    allow = np.ones(CFG.vocab_size, bool)
+    prompt = rng.integers(3, CFG.vocab_size, size=12).tolist()
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg.replace(spec_k=3), draft=(params, CFG))
+        r = Request(0, list(prompt), allow, eos_id=2, max_new_tokens=8,
+                    top_k=0, top_p=1.0, temperature=0.7, seed=5)
+        eng.run([r])
+        assert eng.spec_rounds == 0
+        eng2 = PagedEngine(params, CFG, ecfg)
+        r2 = Request(1, list(prompt), allow, eos_id=2, max_new_tokens=8,
+                     top_k=0, top_p=1.0, temperature=0.7, seed=5)
+        eng2.run([r2])
+    assert r.output_ids == r2.output_ids

@@ -318,6 +318,8 @@ class EngineConfig(_Base):
     n_pages: Optional[int] = None  # KV pool size; None = max_batch_size *
     # max_pages_per_seq (never page-constrained).  Set lower to bound HBM like
     # vLLM's gpu_memory_utilization-derived pool.
+    spec_k: int = 4               # draft tokens per speculative round (used
+    # only when the engine is built with a draft model; greedy requests only)
     decode_horizon: int = 8       # tokens decoded per host sync when no
     # admission/prefill is pending (chained dispatches; see
     # engine.paged.step_chain).  v5e-over-tunnel b=1 7B-int8: 21 tok/s at 1,

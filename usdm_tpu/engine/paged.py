@@ -248,6 +248,157 @@ def paged_decode_step_chained(
     return nxt, new_done, new_lens, keys, kv
 
 
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages"),
+         donate_argnums=(1,))
+def paged_verify_step(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    tokens: jnp.ndarray,  # [B, K+1]: [current, draft_0, ..., draft_{K-1}]
+    seq_lens: jnp.ndarray,  # [B] position of tokens[:, 0]
+    page_table: jnp.ndarray,  # [B, maxp]
+    active: jnp.ndarray,  # [B] bool
+    allow_masks: jnp.ndarray,  # [B, V]
+    page_size: int,
+    n_ctx_pages: int,  # static bucket: pages gathered as attention context
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """Speculative-decoding verification: one target forward over K+1 tokens
+    per slot -> greedy argmax at every position ([B, K+1]) and the target KV
+    written into the pages.
+
+    Column j's argmax is the target's prediction for position seq_lens+j+1;
+    the scheduler accepts the draft prefix that matches and emits one bonus
+    token — per-token cost is ~1/(accepted+1) target weight reads (the step
+    is weight-read bound at 7B-int8).  Rejected positions leave stale KV in
+    owned pages: kv-length masking hides it and the next round's writes
+    overwrite it (the K+1-token write span always covers the previous
+    round's rejected span).  Reference analog: vLLM's speculative decoding
+    worker; greedy-only, like the reference's default decode.
+    """
+    b, k1 = tokens.shape
+    hd = cfg.head_dim
+    h = _proj_dim(params["layers"]["wq"]) // hd
+    hkv = _proj_dim(params["layers"]["wk"]) // hd
+    cdt = jnp.dtype(cfg.dtype)
+    p = page_size
+    n_pages = kv.k_pages.shape[1] // cfg.num_layers
+    s_ctx = n_ctx_pages * p
+
+    positions = seq_lens[:, None] + jnp.arange(k1)[None]  # [B, K1]
+    x = params["embed"].astype(cdt)[tokens]  # [B, K1, D]
+    cos, sin = M.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    trash = n_pages - 1
+    maxp = page_table.shape[1]
+    # per-(slot, token) write targets; inactive slots go to the trash page
+    w_pages = page_table[jnp.arange(b)[:, None],
+                         jnp.minimum(positions // p, maxp - 1)]  # [B, K1]
+    w_pages = jnp.where(active[:, None], w_pages, trash)
+    w_offs = positions % p
+
+    row_ids = page_table[:, :n_ctx_pages]  # [B, ncp] layer-relative
+    kv_pos = jnp.arange(s_ctx)[None]  # [1, S_ctx]
+    q_seg = jnp.where(active, 0, -1)[:, None] * jnp.ones((1, k1), jnp.int32)
+    kv_seg = jnp.where(
+        jnp.logical_and(kv_pos < (seq_lens + k1)[:, None], active[:, None]), 0, -1)
+
+    def body(carry, xs):
+        x, k_pool, v_pool = carry
+        lp, li = xs
+        base = li * n_pages
+        y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+        q = qmm(y, lp["wq"]).reshape(b, k1, h, hd)
+        kk = qmm(y, lp["wk"]).reshape(b, k1, hkv, hd)
+        vv = qmm(y, lp["wv"]).reshape(b, k1, hkv, hd)
+        q = M.apply_rope(q, cos, sin)
+        kk = M.apply_rope(kk, cos, sin)
+
+        kk_t = kk.transpose(2, 0, 1, 3).astype(k_pool.dtype)  # [Hkv, B, K1, hd]
+        vv_t = vv.transpose(2, 0, 1, 3).astype(v_pool.dtype)
+        for bi in range(b):
+            for j in range(k1):
+                at = (jnp.int32(0), base + w_pages[bi, j], w_offs[bi, j], jnp.int32(0))
+                k_pool = jax.lax.dynamic_update_slice(
+                    k_pool, kk_t[:, bi, j][:, None, None, :], at)
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, vv_t[:, bi, j][:, None, None, :], at)
+
+        # context gather (includes the K+1 tokens just written)
+        abs_ids = base + row_ids  # [B, ncp]
+        kc = k_pool[:, abs_ids]  # [Hkv, B, ncp, P, hd]
+        vc = v_pool[:, abs_ids]
+        kc = kc.transpose(1, 2, 3, 0, 4).reshape(b, s_ctx, hkv, hd)
+        vc = vc.transpose(1, 2, 3, 0, 4).reshape(b, s_ctx, hkv, hd)
+        attn = mha(
+            q, kc.astype(cdt), vc.astype(cdt),
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            q_positions=positions, kv_positions=jnp.broadcast_to(kv_pos, (b, s_ctx)),
+            causal=True, sliding_window=cfg.sliding_window, impl="xla",
+        )
+        x = x + qmm(attn.reshape(b, k1, h * hd), lp["wo"])
+        y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+        x = x + qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]),
+                    lp["w_down"])
+        return (x, k_pool, v_pool), None
+
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, kv.k_pages, kv.v_pages),
+        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    )
+    x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    logits = jnp.where(allow_masks[:, None, :], logits, NEG_INF)
+    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K1]
+    return out, PagedKV(new_k, new_v)
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages"),
+         donate_argnums=(1,))
+def paged_spec_accept(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    ver_in: jnp.ndarray,  # [B, K+1]: [current, drafts...]
+    seq_lens: jnp.ndarray,  # [B]
+    done: jnp.ndarray,  # [B] bool: frozen (EOS'd earlier in this chain)
+    eos_ids: jnp.ndarray,  # [B]
+    page_table: jnp.ndarray,
+    active: jnp.ndarray,
+    allow_masks: jnp.ndarray,
+    page_size: int,
+    n_ctx_pages: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
+    """Verification + ON-DEVICE acceptance for a chained speculative round:
+    -> (tokens [B, K+1], n_emit [B], next_cur [B], done' [B], seq_lens' [B],
+    kv').
+
+    Folding the accept/EOS/length logic into the jit lets the scheduler run
+    R rounds back-to-back with ONE host sync (host round-trips otherwise
+    dominate the round: 2 syncs cost more than the draft+verify compute)."""
+    b, k1 = ver_in.shape
+    live = jnp.logical_and(active, ~done)
+    out, kv = paged_verify_step.__wrapped__(
+        params, kv, cfg, ver_in, seq_lens, page_table, live, allow_masks,
+        page_size, n_ctx_pages,
+    )
+    # accepted prefix: drafts d_j (= ver_in[:, j+1]) matching target out[:, j]
+    matches = ver_in[:, 1:] == out[:, :-1]  # [B, K]
+    n_acc = jnp.cumprod(matches.astype(jnp.int32), axis=1).sum(axis=1)  # [B]
+    cols = jnp.arange(k1)[None]
+    # emitted tokens are out[:, :n_acc+1]; truncate at the first EOS inside
+    is_eos = jnp.logical_and(out == eos_ids[:, None], cols <= n_acc[:, None])
+    has_eos = is_eos.any(axis=1)
+    eos_pos = jnp.argmax(is_eos, axis=1)
+    n_emit = jnp.where(has_eos, eos_pos + 1, n_acc + 1)
+    n_emit = jnp.where(live, n_emit, 0)
+    out = jnp.where((cols < n_emit[:, None]), out, 0)
+    next_cur = jnp.where(
+        live, out[jnp.arange(b), jnp.maximum(n_emit - 1, 0)], ver_in[:, 0])
+    new_done = jnp.logical_or(done, has_eos)
+    new_lens = seq_lens + n_emit
+    return out, n_emit, next_cur, new_done, new_lens, kv
+
+
 @partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
          donate_argnums=(1,))
 def paged_prefill_chunk(
@@ -437,7 +588,12 @@ class PagedEngine:
     """
 
     def __init__(self, params: M.Params, cfg: MistralConfig, ecfg: EngineConfig,
-                 mesh=None):
+                 mesh=None, draft=None):
+        """`draft=(draft_params, draft_cfg)` enables greedy speculative
+        decoding (ecfg.spec_k tokens drafted per round, verified by one
+        target forward).  The draft model shares page tables with the target
+        and keeps its own KV pool; output is IDENTICAL to plain greedy
+        decode for any draft — only speed depends on draft agreement."""
         self.cfg = cfg
         self.ecfg = ecfg
         self.mesh = mesh
@@ -492,6 +648,16 @@ class PagedEngine:
         self.decode_horizon = ecfg.decode_horizon
         self.multi_impl = "chain"
         self._chain_streak = 0  # consecutive chains with a stable decode set
+        self.draft_params = self.draft_cfg = self.draft_kv = None
+        if draft is not None:
+            self.draft_params, self.draft_cfg = draft
+            if mesh is not None:
+                raise ValueError("speculative decoding is single-device only")
+            if self.draft_cfg.vocab_size != cfg.vocab_size:
+                raise ValueError("draft vocab must match the target's")
+            self.draft_kv = PagedKV.create(self.draft_cfg, n_pages, ps)
+        self.spec_rounds = 0  # telemetry: rounds run / tokens accepted
+        self.spec_emitted = 0
 
     @property
     def active(self) -> np.ndarray:
@@ -644,6 +810,17 @@ class PagedEngine:
                 jnp.asarray(self.page_table[slot]),
                 self.ecfg.page_size, ncp,
             )
+        if self.draft_params is not None:
+            # the draft model prefills the same chunk into ITS pool — without
+            # a prompt-conditioned draft cache, proposals are garbage and
+            # speculative acceptance collapses (outputs would still be
+            # correct via verification, just slow)
+            _, self.draft_kv = paged_prefill_chunk(
+                self.draft_params, self.draft_kv, self.draft_cfg,
+                jnp.asarray(ids), jnp.asarray(start, jnp.int32), jnp.asarray(n, jnp.int32),
+                jnp.asarray(self.page_table[slot]),
+                self.ecfg.page_size, ncp,
+            )
         self.prefill_pos[slot] = start + n
         if start + n < len(req.prompt_ids):
             return  # more chunks to go; logits discarded
@@ -774,6 +951,19 @@ class PagedEngine:
                 self._keys_dev, jnp.asarray(self.top_k), jnp.asarray(self.top_p),
                 jnp.asarray(self.temp), do_sample=self._do_sample(),
                 needs_filter=self._needs_filter(),
+            )
+        if self.draft_params is not None:
+            # mirror the step into the draft pool (token discarded) so the
+            # draft cache has no holes when speculative rounds resume
+            ones_i = jnp.ones(self.ecfg.max_batch_size, jnp.int32)
+            ones_f = jnp.ones(self.ecfg.max_batch_size, jnp.float32)
+            _, _, self.draft_kv = paged_decode_step(
+                self.draft_params, self.draft_kv, self.draft_cfg,
+                jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
+                jnp.asarray(self.page_table), jnp.asarray(dec),
+                self._allow_dev, self.ecfg.page_size,
+                jnp.zeros((self.ecfg.max_batch_size, 2), jnp.uint32),
+                ones_i, ones_f, ones_f, do_sample=False,
             )
         nxt = np.asarray(nxt)
         self.steps += 1
@@ -910,12 +1100,128 @@ class PagedEngine:
                 self._reclaim_window(slot)
         return int((self.status != FREE).sum())
 
+    def _can_spec(self) -> bool:
+        """Speculate only when: a draft is loaded, spec_k > 0, no admissions
+        or prefills pending, and every decoding slot is greedy with room for
+        a full K+1-token round (tails fall back to plain steps)."""
+        if (self.draft_params is None or self.ecfg.spec_k < 1
+                or self.waiting or self.prefill_order):
+            return False
+        dec = self.status == DECODE
+        if not dec.any():
+            return False
+        k1 = self.ecfg.spec_k + 1
+        ps = self.ecfg.page_size
+        for slot in range(self.ecfg.max_batch_size):
+            if not dec[slot]:
+                continue
+            req = self.slot_req[slot]
+            if req.sampled:
+                return False  # greedy-only speculation
+            if req.max_new_tokens - len(req.output_ids) < k1:
+                return False
+            if len(self.slot_pages[slot]) * ps - (int(self.seq_lens[slot]) + k1) < 0:
+                return False
+        return True
+
+    def _spec_rounds_cap(self, dec: np.ndarray) -> int:
+        """How many full K+1-token speculative rounds every decoding slot can
+        run without exceeding its token budget or page allocation."""
+        k1 = self.ecfg.spec_k + 1
+        ps = self.ecfg.page_size
+        cap = 1 << 30
+        for slot in range(self.ecfg.max_batch_size):
+            if not dec[slot]:
+                continue
+            req = self.slot_req[slot]
+            cap = min(cap, (req.max_new_tokens - len(req.output_ids)) // k1)
+            cap = min(cap,
+                      (len(self.slot_pages[slot]) * ps - int(self.seq_lens[slot])) // k1)
+        return max(cap, 0)
+
+    def step_spec(self) -> int:
+        """R chained speculative rounds with ONE host sync.
+
+        Each round: K+1 draft steps (the last writes the draft KV of the
+        final proposal so full acceptance leaves no cache hole) + one target
+        verification over K+1 positions with ON-DEVICE acceptance
+        (`paged_spec_accept`) — the accepted count, EOS freeze, next input
+        token and length updates all stay on device, so rounds chain
+        back-to-back like `step_chain` links.  Output is exactly the greedy
+        decode's for any draft (tests assert this); tokens/s scales with
+        draft agreement because the target — the weight-read-bound model —
+        runs once per round instead of once per token."""
+        k = self.ecfg.spec_k
+        dec = self.status == DECODE
+        rounds = min(self._spec_rounds_cap(dec),
+                     max(1, self.decode_horizon // (k + 1)),
+                     1 << min(self._chain_streak, 5))
+        self._chain_streak += 1
+        if rounds < 1:
+            return self.step()
+        active = jnp.asarray(dec)
+        lens = jnp.asarray(self.seq_lens)
+        table = jnp.asarray(self.page_table)
+        cur = jnp.asarray(self.tokens)
+        done = jnp.asarray(~dec)
+        eos = jnp.asarray(self.eos)
+        keys = self._keys_dev
+        ones_i = jnp.ones(self.ecfg.max_batch_size, jnp.int32)
+        ones_f = jnp.ones(self.ecfg.max_batch_size, jnp.float32)
+        max_tok = (int(self.seq_lens[dec].max()) if dec.any() else 0) + rounds * (k + 1)
+        ncp = _ctx_pages_bucket(self._pages_needed(max_tok), self.ecfg.max_pages_per_seq)
+
+        outs, emits = [], []
+        for _ in range(rounds):
+            cols = [cur]
+            d = cur
+            for i in range(k + 1):
+                d, keys, self.draft_kv = paged_decode_step(
+                    self.draft_params, self.draft_kv, self.draft_cfg,
+                    d, lens + i, table, jnp.logical_and(active, ~done),
+                    self._allow_dev, self.ecfg.page_size, keys,
+                    ones_i, ones_f, ones_f, do_sample=False,
+                )
+                if i < k:
+                    cols.append(d)
+            ver_in = jnp.stack(cols, axis=1)  # [B, K+1]
+            otok, n_emit, cur, done, lens, self.kv = paged_spec_accept(
+                self.params, self.kv, self.cfg, ver_in, lens, done, eos,
+                table, active, self._allow_dev, self.ecfg.page_size, ncp,
+            )
+            outs.append(otok)
+            emits.append(n_emit)
+        packed = np.asarray(jnp.concatenate(
+            [jnp.concatenate(outs, axis=1),
+             jnp.stack(emits, axis=1)], axis=1))  # ONE host sync
+        toks = packed[:, : rounds * (k + 1)].reshape(-1, rounds, k + 1)
+        n_emits = packed[:, rounds * (k + 1):]
+        self.steps += rounds
+        self.spec_rounds += rounds
+
+        b = self.ecfg.max_batch_size
+        flat = np.zeros((b, rounds * (k + 1)), np.int32)
+        total = np.zeros(b, np.int32)
+        for slot in range(b):
+            if not dec[slot]:
+                continue
+            for r in range(rounds):
+                n = int(n_emits[slot, r])
+                flat[slot, int(total[slot]): int(total[slot]) + n] = toks[slot, r, :n]
+                total[slot] += n
+            self.spec_emitted += int(total[slot])
+        return self._absorb_multi(dec, flat, total)
+
     def tick(self) -> int:
         """One scheduler turn: per-token stepping while admissions/prefills
-        are pending (or under TP), multi-token decode otherwise."""
-        if (self.waiting or self.prefill_order or self.decode_horizon == 1
-                or self.mesh is not None):
+        are pending (or under TP), speculative rounds when a draft is loaded
+        and applicable, multi-token decode otherwise."""
+        if (self.waiting or self.prefill_order or self.mesh is not None):
             return self.step()  # keep admitting/prefilling while a queue exists
+        if self._can_spec():
+            return self.step_spec()
+        if self.decode_horizon == 1:
+            return self.step()
         if self.multi_impl == "chain":
             return self.step_chain(self.decode_horizon)
         return self.step_multi(self.decode_horizon)

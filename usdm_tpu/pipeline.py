@@ -102,7 +102,7 @@ class UsdmPipeline:
         )
         return np.asarray(units)[0, : int(ulen[0])].tolist()
 
-    def make_server(self, ecfg=None, tp: int = 1):
+    def make_server(self, ecfg=None, tp: int = 1, draft=None):
         """Spin up the continuous-batching serving engine over the LM.
 
         Returns an `EngineServer` (background step-loop thread); build one
@@ -110,7 +110,8 @@ class UsdmPipeline:
         concurrent serving path (reference: vLLM engine in
         streamlit_demo.py:64) — `respond()` below is the single-caller
         prefix-reuse path.  `tp > 1` shards the LM + KV pool tensor-parallel
-        across the first `tp` devices (engine.tp shard_map serving)."""
+        across the first `tp` devices (engine.tp shard_map serving).
+        `draft=(params, cfg)` enables greedy speculative decoding."""
         from usdm_tpu.core.config import EngineConfig
         from usdm_tpu.engine.paged import PagedEngine
         from usdm_tpu.engine.server import EngineServer
@@ -121,7 +122,8 @@ class UsdmPipeline:
 
             mesh = make_tp_mesh(tp)
         return EngineServer(PagedEngine(self.lm_params, self.lm_cfg,
-                                        ecfg or EngineConfig(), mesh=mesh))
+                                        ecfg or EngineConfig(), mesh=mesh,
+                                        draft=draft))
 
     def _dialog_server(self):
         """Lazy EngineServer for the single-caller respond() path (small
