@@ -106,3 +106,35 @@ def test_stage_budget_from_tokenizer_metadata(params):
     pol2 = PagedDialogPolicy(server, tok, max_new_tokens=5)
     assert pol2._budget(10) == 5
     server.close()
+
+
+def test_dialog_through_spec_server_matches_plain():
+    """A serving engine with a draft model (speculative decoding) produces
+    exactly the plain engine's greedy 3-stage dialog result."""
+    from usdm_tpu.core.config import EngineConfig
+    from usdm_tpu.engine.server import PagedDialogPolicy
+    from usdm_tpu.pipeline import UsdmPipeline
+
+    pipe = UsdmPipeline.tiny_random()
+    ecfg = EngineConfig(page_size=32, max_pages_per_seq=64, max_batch_size=2,
+                        prefill_chunk=256)
+    units = list(range(40))
+
+    plain = pipe.make_server(ecfg)
+    try:
+        res_a = PagedDialogPolicy(plain, pipe.tokenizer, max_new_tokens=12,
+                                  seed=0).respond_to_units(units)
+    finally:
+        plain.close()
+    # draft = the target itself (perfect agreement; any draft gives the
+    # same tokens, this also exercises full-acceptance chaining)
+    spec = pipe.make_server(ecfg.replace(spec_k=3),
+                            draft=(pipe.lm_params, pipe.lm_cfg))
+    try:
+        res_b = PagedDialogPolicy(spec, pipe.tokenizer, max_new_tokens=12,
+                                  seed=0).respond_to_units(units)
+        assert spec.engine.spec_rounds > 0
+    finally:
+        spec.close()
+    assert res_a.stage_tokens == res_b.stage_tokens
+    assert res_a.agent_units == res_b.agent_units

@@ -189,6 +189,12 @@ def main(argv=None) -> int:
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard the LM over the first "
                         "N devices (requires num_kv_heads %% tp == 0)")
+    p.add_argument("--draft_dir",
+                   help="HF-Mistral dir of a small draft LM: enables greedy "
+                        "speculative decoding (output identical to plain "
+                        "greedy; speed scales with draft agreement)")
+    p.add_argument("--spec_k", type=int, default=4,
+                   help="draft tokens per speculative round")
     args = p.parse_args(argv)
 
     from usdm_tpu.core.config import EngineConfig
@@ -202,6 +208,12 @@ def main(argv=None) -> int:
             args.voicebox_dir, args.bigvgan_dir, args.tokenizer_dir,
         )
 
+    draft = None
+    if args.draft_dir:
+        from usdm_tpu.core import checkpoint as ckpt
+
+        draft = ckpt.load_mistral(args.draft_dir, dtype="bfloat16")
+
     server = None
     if not args.dense:
         server = pipe.make_server(EngineConfig(
@@ -209,7 +221,8 @@ def main(argv=None) -> int:
             max_pages_per_seq=args.max_pages_per_seq,
             max_batch_size=args.max_batch_size,
             prefill_chunk=args.prefill_chunk,
-        ), tp=args.tp)
+            spec_k=args.spec_k,
+        ), tp=args.tp, draft=draft)
 
     httpd = ThreadingHTTPServer(
         ("0.0.0.0", args.port), make_handler(pipe, server, args.n_timesteps)
