@@ -518,3 +518,56 @@ def test_speculative_sampled_requests_fall_back(setup, rng):
                      top_k=0, top_p=1.0, temperature=0.7, seed=5)
         eng2.run([r2])
     assert r.output_ids == r2.output_ids
+
+
+def test_scheduler_fuzz_invariants(setup):
+    """Randomized scheduler stress: staggered arrivals, mixed greedy/sampled
+    requests, sessions, a spec draft, a tight page pool forcing eviction.
+    Invariants: every request finishes (or errors cleanly), greedy outputs
+    equal their solo runs, all pages return to the pool, no slot stays busy."""
+    params = setup
+    fuzz = np.random.default_rng(1234)
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=6, max_batch_size=3,
+                        n_pages=14, prefill_chunk=16, spec_k=2)
+    allow = np.ones(CFG.vocab_size, bool)
+
+    reqs = []
+    for i in range(14):
+        n = int(fuzz.integers(4, 40))
+        max_new = int(fuzz.integers(1, 10))
+        kw = {}
+        if fuzz.random() < 0.3:
+            kw = dict(top_k=int(fuzz.integers(2, 12)), temperature=0.8,
+                      seed=int(fuzz.integers(0, 100)))
+        if fuzz.random() < 0.4:
+            kw["session"] = int(fuzz.integers(0, 3))
+        reqs.append(Request(i, fuzz.integers(3, CFG.vocab_size, size=n).tolist(),
+                            allow, eos_id=2, max_new_tokens=max_new, **kw))
+
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg, draft=(params, CFG))
+        total_pages = len(eng.free_pages)
+        i = 0
+        while i < len(reqs) or eng.busy:
+            if i < len(reqs) and fuzz.random() < 0.5:
+                eng.submit(reqs[i])
+                i += 1
+            eng.tick()
+        for s in range(3):
+            eng.release_session(s)
+        assert len(eng.free_pages) == total_pages
+        assert (eng.status == 0).all() and not eng.session_slots
+        st = eng.stats()
+        assert st["total_finished"] == sum(1 for r in reqs if not r.error)
+
+        for r in reqs:
+            assert r.finished
+            if r.error:
+                continue
+            solo = PagedEngine(params, CFG, ecfg)
+            clone = Request(r.req_id, list(r.prompt_ids), r.allow_mask,
+                            r.eos_id, r.max_new_tokens, top_k=r.top_k,
+                            top_p=r.top_p, temperature=r.temperature, seed=r.seed)
+            solo.run([clone])
+            assert r.output_ids == clone.output_ids, (
+                r.req_id, r.output_ids, clone.output_ids)

@@ -138,3 +138,34 @@ def test_dialog_through_spec_server_matches_plain():
         spec.close()
     assert res_a.stage_tokens == res_b.stage_tokens
     assert res_a.agent_units == res_b.agent_units
+
+
+def test_early_exit_self_draft_matches_plain():
+    """draft='early-exit:N' (first N layers of the target, no training, no
+    extra checkpoint) must also emit exactly the plain greedy dialog."""
+    from usdm_tpu.core.config import EngineConfig
+    from usdm_tpu.engine.server import PagedDialogPolicy
+    from usdm_tpu.pipeline import UsdmPipeline
+
+    pipe = UsdmPipeline.tiny_random()
+    ecfg = EngineConfig(page_size=32, max_pages_per_seq=64, max_batch_size=2,
+                        prefill_chunk=256, spec_k=3)
+    units = list(range(30))
+
+    plain = pipe.make_server(ecfg)
+    try:
+        res_a = PagedDialogPolicy(plain, pipe.tokenizer, max_new_tokens=10,
+                                  seed=0).respond_to_units(units)
+    finally:
+        plain.close()
+    spec = pipe.make_server(ecfg, draft="early-exit:1")
+    try:
+        res_b = PagedDialogPolicy(spec, pipe.tokenizer, max_new_tokens=10,
+                                  seed=0).respond_to_units(units)
+        assert spec.engine.spec_rounds > 0
+        assert spec.engine.draft_cfg.num_layers == 1
+        st = spec.engine.stats()
+        assert st["total_finished"] == 3 and st["free_pages"] > 0
+    finally:
+        spec.close()
+    assert res_a.stage_tokens == res_b.stage_tokens

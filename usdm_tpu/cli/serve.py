@@ -12,6 +12,7 @@ on one chip instead of queuing behind a lock.  Endpoints:
                    n_units} + audio path; ?audio=1 returns the wav.
                    Query params: top_k, top_p, temperature, seed, n_timesteps
   GET  /health     liveness probe
+  GET  /stats      engine telemetry JSON (tokens, slots, pool, speculation)
 
 Usage:
   python -m usdm_tpu.cli.serve --demo --port 8600
@@ -66,6 +67,15 @@ def make_handler(pipe, server, n_timesteps: int):
                 self.send_response(200)
                 self.end_headers()
                 self.wfile.write(b"ok")
+                return
+            if self.path.startswith("/stats"):
+                body = json.dumps(
+                    server.engine.stats() if server is not None
+                    else {"engine": "dense"}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
                 return
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
@@ -193,6 +203,9 @@ def main(argv=None) -> int:
                    help="HF-Mistral dir of a small draft LM: enables greedy "
                         "speculative decoding (output identical to plain "
                         "greedy; speed scales with draft agreement)")
+    p.add_argument("--draft",
+                   help="training-free self-draft, e.g. 'early-exit:8' = the "
+                        "target's first 8 layers (alternative to --draft_dir)")
     p.add_argument("--spec_k", type=int, default=4,
                    help="draft tokens per speculative round")
     args = p.parse_args(argv)
@@ -213,6 +226,8 @@ def main(argv=None) -> int:
         from usdm_tpu.core import checkpoint as ckpt
 
         draft = ckpt.load_mistral(args.draft_dir, dtype="bfloat16")
+    elif args.draft:
+        draft = args.draft  # resolved by make_server (e.g. early-exit:N)
 
     server = None
     if not args.dense:

@@ -658,6 +658,9 @@ class PagedEngine:
             self.draft_kv = PagedKV.create(self.draft_cfg, n_pages, ps)
         self.spec_rounds = 0  # telemetry: rounds run / tokens accepted
         self.spec_emitted = 0
+        self.total_emitted = 0  # all tokens emitted across requests
+        self.total_finished = 0
+        self._t0 = __import__("time").time()
 
     @property
     def active(self) -> np.ndarray:
@@ -839,11 +842,33 @@ class PagedEngine:
         if first == req.eos_id or len(req.output_ids) >= req.max_new_tokens:
             self._finish(slot)
 
+    def stats(self) -> dict:
+        """Serving telemetry (vLLM metrics analog): device steps, tokens
+        emitted, request counts, speculation acceptance, pool occupancy."""
+        import time as _t
+
+        return {
+            "uptime_s": round(_t.time() - self._t0, 1),
+            "steps": self.steps,
+            "total_emitted": self.total_emitted,
+            "total_finished": self.total_finished,
+            "active_slots": int(((self.status == PREFILL) | (self.status == DECODE)).sum()),
+            "held_sessions": len(self.session_slots),
+            "waiting": len(self.waiting),
+            "free_pages": len(self.free_pages),
+            "spec_rounds": self.spec_rounds,
+            "spec_emitted": self.spec_emitted,
+            "spec_accept_per_round": round(self.spec_emitted / self.spec_rounds, 3)
+            if self.spec_rounds else None,
+        }
+
     def _finish(self, slot: int) -> None:
         req = self.slot_req[slot]
         self._chain_streak = 0
         if req is not None:
             req.finished = True
+            self.total_finished += 1
+            self.total_emitted += len(req.output_ids)
         if req is not None and req.session is not None:
             # retain the pages: the session's next request reuses the KV of
             # its common prefix with (prompt + output).  seq_lens[slot] stays

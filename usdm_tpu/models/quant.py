@@ -68,6 +68,31 @@ def quantize_llm_params(params: Params) -> Params:
     return out
 
 
+def early_exit_draft(params: Params, n_layers: int):
+    """Self-speculation draft: the target's FIRST `n_layers` layers with the
+    target's own embed/final-norm/lm_head — a draft model that needs no
+    training or extra checkpoint (speculative decoding is lossless for any
+    draft, so this only affects speed, never output; acceptance depends on
+    how early the truncated network's argmax matches the full one).
+
+    Returns a `(draft_params, cut_fn)` pair where draft_params shares embed/
+    lm_head/final_norm with the target and holds sliced copies of the first
+    `n_layers` stacked layer weights (n/L of the layer bytes in HBM).
+    """
+    layers = {}
+    for name, leaf in params["layers"].items():
+        if isinstance(leaf, dict):  # quantized {"q","s"}
+            layers[name] = {k: v[:n_layers] for k, v in leaf.items()}
+        else:
+            layers[name] = leaf[:n_layers]
+    return {
+        "embed": params["embed"],
+        "layers": layers,
+        "final_norm": params["final_norm"],
+        "lm_head": params["lm_head"],
+    }
+
+
 def quantized_bytes(params: Params) -> int:
     import numpy as np
 

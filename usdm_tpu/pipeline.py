@@ -111,7 +111,10 @@ class UsdmPipeline:
         streamlit_demo.py:64) — `respond()` below is the single-caller
         prefix-reuse path.  `tp > 1` shards the LM + KV pool tensor-parallel
         across the first `tp` devices (engine.tp shard_map serving).
-        `draft=(params, cfg)` enables greedy speculative decoding."""
+        `draft` enables greedy speculative decoding: either `(params, cfg)`
+        of a separate small LM, or the string `"early-exit:N"` for a
+        training-free self-draft built from the target's first N layers
+        (output is identical to plain greedy either way)."""
         from usdm_tpu.core.config import EngineConfig
         from usdm_tpu.engine.paged import PagedEngine
         from usdm_tpu.engine.server import EngineServer
@@ -121,6 +124,14 @@ class UsdmPipeline:
             from usdm_tpu.engine.tp import make_tp_mesh
 
             mesh = make_tp_mesh(tp)
+        if isinstance(draft, str):
+            if not draft.startswith("early-exit:"):
+                raise ValueError(f"unknown draft spec {draft!r}")
+            from usdm_tpu.models.quant import early_exit_draft
+
+            n = int(draft.split(":", 1)[1])
+            draft = (early_exit_draft(self.lm_params, n),
+                     self.lm_cfg.replace(num_layers=n))
         return EngineServer(PagedEngine(self.lm_params, self.lm_cfg,
                                         ecfg or EngineConfig(), mesh=mesh,
                                         draft=draft))
