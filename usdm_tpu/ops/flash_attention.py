@@ -27,8 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# swept on v5e at the 8192-seq training shape (fwd+bwd, GQA 32/8, window
+# 4096): 512/512 = 29.0 ms, 1024/1024 = 22.9 ms (-21%); 2048 exceeds VMEM.
+# Short/odd shapes clamp to the sequence length, so small calls are unchanged.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 _LANES = 128
 
 
