@@ -196,3 +196,32 @@ def test_build_single_turn_samples():
 
 def test_normalize_transcript():
     assert normalize_transcript("Hello, World! It's ME.") == "hello world it's me"
+
+
+def test_stage2_cli_parallel_matches_serial(tmp_path):
+    """cmd_stage2 --workers N produces byte-identical outputs to serial
+    (per-file deterministic rngs; reference stage2 is a Pool map)."""
+    import os
+
+    from usdm_tpu.cli.preprocess import main as pp_main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        (data / f"utt{i}.TextGrid").write_text(TG)
+        units = " ".join(str(u) for u in rng.integers(0, 32, size=125))
+        (data / f"utt{i}_unit.txt").write_text(units)
+
+    outs = {}
+    for label, workers in [("serial", 0), ("par", 2)]:
+        out = tmp_path / label
+        pp_main(["stage2", "--data_path", str(data), "--output_path", str(out),
+                 "--num_unit_tokens", "32", "--epoch", "2", "--seed", "7",
+                 "--workers", str(workers)])
+        outs[label] = {
+            f: (out / f).read_text()
+            for f in sorted(os.listdir(out))
+        }
+    assert outs["serial"] == outs["par"]
+    assert any(f.endswith("epoch2.txt") for f in outs["serial"])

@@ -67,42 +67,83 @@ def cmd_stage1(args) -> int:
     return 0
 
 
-def cmd_stage2(args) -> int:
-    """TextGrid alignments + units -> per-epoch interleaved token streams
-    (stage2.py).  Emits data_epochN.txt (space-separated ids) + length JSON."""
+_S2 = {}  # per-process stage2 worker state (tokenizer is not picklable)
+
+
+def _stage2_init(tokenizer_dir, num_unit_tokens, epoch, seed):
     from usdm_tpu.core.tokenizer import UsdmTokenizer
+
+    _S2["tok"] = (UsdmTokenizer.load(tokenizer_dir) if tokenizer_dir
+                  else UsdmTokenizer.build_test(num_units=num_unit_tokens))
+    _S2["epoch"] = epoch
+    _S2["seed"] = seed
+
+
+def _stage2_one(job):
+    """One utterance -> per-epoch (token-string, length) or None.
+
+    Deterministic PER FILE (rng seeded by (seed, file index)), so results
+    are identical whatever the worker count or completion order — the
+    reference's Pool(os.cpu_count()) map has the same property
+    (stage2.py:236-257)."""
+    idx, tg = job
     from usdm_tpu.data.interleave import interleave_tokens, prepare_alignment
 
-    tok = UsdmTokenizer.load(args.tokenizer_dir) if args.tokenizer_dir else UsdmTokenizer.build_test(num_units=args.num_unit_tokens)
+    tok = _S2["tok"]
     ts = tok.ts
+    unit_path = tg.replace(".TextGrid", "_unit.txt").replace("-textgrid", "")
+    if not os.path.exists(unit_path):
+        return None
+    with open(unit_path) as f:
+        units = [int(u) for u in f.readline().split("\t")[0].split()]
+    unit_ids = [ts.unit_id(u) for u in units]
+    try:
+        res = prepare_alignment(tg, len(unit_ids))
+    except AssertionError:
+        return None
+    if res is None:
+        return None
+    merged, _ = res
+    rng = random.Random(_S2["seed"] * 1000003 + idx)
+    out = []
+    for _ in range(_S2["epoch"]):
+        seq = interleave_tokens(
+            merged, unit_ids, lambda s: tok.encode(s, add_bos=False),
+            [ts.continue_id], [ts.correspond_id], ts.bos_id, ts.eos_id, rng,
+        )
+        assert all(x < ts.vocab_size for x in seq)
+        out.append((" ".join(str(i) for i in seq), len(seq)))
+    return out
 
+
+def cmd_stage2(args) -> int:
+    """TextGrid alignments + units -> per-epoch interleaved token streams
+    (stage2.py).  Emits data_epochN.txt (space-separated ids) + length JSON.
+
+    --workers N processes utterances in parallel (reference stage2 uses
+    multiprocessing.Pool(os.cpu_count()), stage2.py:236-257); output is
+    byte-identical for any worker count."""
     tg_list = sorted(glob.glob(os.path.join(args.data_path, "**", "*.TextGrid"), recursive=True))
-    rng = random.Random(args.seed)
+    init_args = (args.tokenizer_dir, args.num_unit_tokens, args.epoch, args.seed)
+    jobs = list(enumerate(tg_list))
+    workers = getattr(args, "workers", 0) or 0
+    if workers > 1:
+        import multiprocessing as mp
+
+        with mp.Pool(workers, initializer=_stage2_init, initargs=init_args) as pool:
+            results = pool.map(_stage2_one, jobs, chunksize=16)
+    else:
+        _stage2_init(*init_args)
+        results = [_stage2_one(j) for j in jobs]
+
     totals = [[] for _ in range(args.epoch)]
     lengths = [[] for _ in range(args.epoch)]
-
-    for tg in tg_list:
-        unit_path = tg.replace(".TextGrid", "_unit.txt").replace("-textgrid", "")
-        if not os.path.exists(unit_path):
-            continue
-        with open(unit_path) as f:
-            units = [int(u) for u in f.readline().split("\t")[0].split()]
-        unit_ids = [ts.unit_id(u) for u in units]
-        try:
-            res = prepare_alignment(tg, len(unit_ids))
-        except AssertionError:
-            continue
+    for res in results:
         if res is None:
             continue
-        merged, _ = res
-        for e in range(args.epoch):
-            seq = interleave_tokens(
-                merged, unit_ids, lambda s: tok.encode(s, add_bos=False),
-                [ts.continue_id], [ts.correspond_id], ts.bos_id, ts.eos_id, rng,
-            )
-            assert all(x < ts.vocab_size for x in seq)
-            totals[e].append(" ".join(str(i) for i in seq))
-            lengths[e].append(len(seq))
+        for e, (s, n) in enumerate(res):
+            totals[e].append(s)
+            lengths[e].append(n)
 
     os.makedirs(args.output_path, exist_ok=True)
     for e in range(args.epoch):
@@ -224,6 +265,9 @@ def main(argv=None) -> int:
     s2.add_argument("--num_unit_tokens", type=int, default=10000)
     s2.add_argument("--epoch", type=int, default=1)
     s2.add_argument("--seed", type=int, default=43)
+    s2.add_argument("--workers", type=int, default=0,
+                    help="parallel utterance workers (0/1 = serial; output is "
+                         "identical for any worker count)")
 
     s3 = sub.add_parser("stage3")
     s3.add_argument("--data_path", required=True)
