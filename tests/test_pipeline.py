@@ -56,3 +56,20 @@ def test_extract_units_range(pipe, rng):
     units = pipe.extract_units(wav)
     assert len(units) > 0
     assert all(0 <= u < pipe.xlsr_cfg.num_clusters for u in units)
+
+
+def test_respond_with_speculation_matches_plain(tmp_path, user_wav):
+    """respond() with enable_speculation('early-exit:N') writes the same
+    greedy dialog as without (lossless speculation at the product surface)."""
+    from usdm_tpu.pipeline import UsdmPipeline
+
+    pipe = UsdmPipeline.tiny_random()
+    out_a = str(tmp_path / "a.wav")
+    res_a = pipe.respond(user_wav, out_a, n_timesteps=2, seed=0)
+    pipe.enable_speculation("early-exit:1")
+    out_b = str(tmp_path / "b.wav")
+    res_b = pipe.respond(user_wav, out_b, n_timesteps=2, seed=0)
+    assert pipe._server.engine.spec_rounds > 0
+    pipe.close()
+    assert res_a.stage_tokens == res_b.stage_tokens
+    assert res_a.agent_units == res_b.agent_units

@@ -41,6 +41,11 @@ def main(argv=None) -> int:
                    help="tensor-parallel degree: shard the LM over the first "
                         "N devices and decode through the paged engine")
     p.add_argument("--demo", action="store_true", help="random tiny pipeline (plumbing check)")
+    p.add_argument("--draft_dir", default=None,
+                   help="small draft-LM dir (HF layout): greedy speculative "
+                        "decoding, output identical to plain greedy")
+    p.add_argument("--draft", default=None,
+                   help="training-free self-draft, e.g. 'early-exit:8'")
     args = p.parse_args(argv)
 
     from usdm_tpu.pipeline import UsdmPipeline
@@ -57,6 +62,13 @@ def main(argv=None) -> int:
             args.voicebox_dir, args.bigvgan_dir, args.tokenizer_dir,
             lm_int8=args.int8,
         )
+
+    if args.draft_dir:
+        from usdm_tpu.core import checkpoint as ckpt
+
+        pipe.enable_speculation(ckpt.load_mistral(args.draft_dir, dtype="bfloat16"))
+    elif args.draft:
+        pipe.enable_speculation(args.draft)
 
     if args.tp > 1:
         from usdm_tpu.engine.server import PagedDialogPolicy

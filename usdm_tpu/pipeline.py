@@ -48,6 +48,8 @@ class UsdmPipeline:
     # lazy single-caller serving engine backing respond() (paged decode costs
     # O(actual tokens); the dense fallback pays O(cache_len) per step)
     _server: Optional[object] = dataclasses.field(default=None, repr=False, compare=False)
+    # speculative-decoding draft for respond(): (params, cfg) or "early-exit:N"
+    _draft: Optional[object] = dataclasses.field(default=None, repr=False, compare=False)
 
     @classmethod
     def from_pretrained(
@@ -136,6 +138,14 @@ class UsdmPipeline:
                                         ecfg or EngineConfig(), mesh=mesh,
                                         draft=draft))
 
+    def enable_speculation(self, draft) -> None:
+        """Attach a speculative-decoding draft to the respond() path: either
+        `(params, cfg)` of a small LM or the string `"early-exit:N"`.  Output
+        is unchanged (greedy speculation is lossless); only speed depends on
+        draft agreement.  Rebuilds the lazy dialog server if one exists."""
+        self.close()
+        self._draft = draft
+
     def _dialog_server(self):
         """Lazy EngineServer for the single-caller respond() path (small
         2-slot pool; concurrent serving builds its own via make_server)."""
@@ -146,7 +156,8 @@ class UsdmPipeline:
             # dispatch), long horizon; the 3-stage session HOLDs and reuses
             # this slot's pages across stages
             self._server = self.make_server(
-                EngineConfig(max_batch_size=1, decode_horizon=32))
+                EngineConfig(max_batch_size=1, decode_horizon=32),
+                draft=self._draft)
         return self._server
 
     def close(self) -> None:
