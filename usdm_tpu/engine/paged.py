@@ -30,8 +30,7 @@ Per-request logit masks + stop ids implement the 3-stage dialog constraints
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,502 +38,23 @@ import numpy as np
 
 from usdm_tpu.core.config import EngineConfig, MistralConfig
 from usdm_tpu.models import mistral as M
-from usdm_tpu.models.quant import qmm
-from usdm_tpu.ops.attention import mha
-from usdm_tpu.ops.sampling import NEG_INF, sample_batched, split_keys
+
+# Device-side jitted pieces live in paged_ops; re-exported here so existing
+# imports (tests, bench, tp) keep working.
+from usdm_tpu.engine.paged_ops import (  # noqa: F401
+    PagedKV,
+    paged_decode_multi,
+    paged_decode_step,
+    paged_decode_step_chained,
+    paged_prefill_chunk,
+    paged_spec_accept,
+    paged_verify_step,
+    sample_next,
+)
 
 # slot states (HOLD: finished request whose pages are retained for prefix
 # reuse by the next request of the same session — vLLM prefix caching)
 FREE, PREFILL, DECODE, HOLD = 0, 1, 2, 3
-
-
-# ---------------------------------------------------------------------------
-# Device-side paged KV
-# ---------------------------------------------------------------------------
-
-
-@dataclasses.dataclass
-class PagedKV:
-    """Pool layout [Hkv, L*N, P, hd]: the layer index is FOLDED INTO the page
-    id (layer li's page p lives at li*N + p).  Two wins over the naive
-    [L, Hkv, N, P, hd]: (1) the layer-stack scan carries ONE buffer updated
-    in place by scatter — passing per-layer pools through scan xs/ys forced
-    XLA to materialize a fresh full-pool copy every decode step (measured
-    2.2 GB of temps per step at 2 slots, >half the step time); (2) the Pallas
-    kernel needs no layer axis — callers just offset the page table by li*N.
-    The host-side page table stays layer-relative (ids in [0, N))."""
-
-    k_pages: jnp.ndarray  # [Hkv, L*N, P, hd] (kv-head-major; see paged_attention)
-    v_pages: jnp.ndarray  # [Hkv, L*N, P, hd]
-
-    @classmethod
-    def create(cls, cfg: MistralConfig, n_pages: int, page_size: int, dtype=None) -> "PagedKV":
-        dtype = jnp.dtype(dtype or cfg.dtype)
-        shape = (cfg.num_kv_heads, cfg.num_layers * n_pages, page_size, cfg.head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
-
-
-jax.tree_util.register_dataclass(PagedKV, data_fields=["k_pages", "v_pages"], meta_fields=[])
-
-
-def _psum(x, tp_axis):
-    return x if tp_axis is None else jax.lax.psum(x, tp_axis)
-
-
-def _proj_dim(w) -> int:
-    """Output dim of a projection weight (plain array or quantized dict)."""
-    return (w["q"] if isinstance(w, dict) else w).shape[-1]
-
-
-@partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample", "tp_axis",
-                                   "needs_filter"),
-         donate_argnums=(1,))
-def paged_decode_step(
-    params: M.Params,
-    kv: PagedKV,
-    cfg: MistralConfig,
-    tokens: jnp.ndarray,  # [B] current token per slot
-    seq_lens: jnp.ndarray,  # [B] tokens already in cache (position of this token)
-    page_table: jnp.ndarray,  # [B, maxp]
-    active: jnp.ndarray,  # [B] bool
-    allow_masks: jnp.ndarray,  # [B, V] bool per-slot vocab masks
-    page_size: int,
-    keys: jnp.ndarray,  # [B, 2] uint32 per-slot PRNG keys
-    top_k: jnp.ndarray,  # [B] int32
-    top_p: jnp.ndarray,  # [B] f32
-    temperature: jnp.ndarray,  # [B] f32
-    do_sample: bool = False,
-    tp_axis: Optional[str] = None,
-    needs_filter: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, PagedKV]:
-    """One decode step for every active slot -> (next_token [B], keys', kv').
-
-    With do_sample=False every slot is argmax and `keys` pass through
-    untouched (the common greedy path compiles without the vocab sort).
-
-    With `tp_axis` set the body runs INSIDE a shard_map over that mesh axis
-    (engine.tp): params/kv arrive as per-device shards (heads and ffn split),
-    h/hkv/vocab are derived from local shapes, matmul partial sums psum, and
-    the vocab-sharded logits all_gather before masking/sampling — the
-    explicit-collective TP serving path (SURVEY §2.3).
-    """
-    b = tokens.shape[0]
-    hd = cfg.head_dim
-    # local head counts come from the (possibly sharded) weights, not cfg
-    h = _proj_dim(params["layers"]["wq"]) // hd
-    hkv = _proj_dim(params["layers"]["wk"]) // hd
-    cdt = jnp.dtype(cfg.dtype)
-
-    pos = seq_lens  # position of the incoming token
-    x = params["embed"].astype(cdt)[tokens][:, None, :]
-    cos, sin = M.rope_tables(pos[:, None], cfg.head_dim, cfg.rope_theta)
-
-    n_pages = kv.k_pages.shape[1] // cfg.num_layers
-    page_ids = page_table[jnp.arange(b), pos // page_size]  # [B] layer-relative
-    # inactive slots must not scribble over pages that may have been freed
-    # and reassigned: route their writes to the reserved trash page (last
-    # page of each layer's region, never allocated).
-    trash = n_pages - 1
-    page_ids = jnp.where(active, page_ids, trash)
-    offs = pos % page_size
-
-    def body(carry, xs):
-        x, k_pool, v_pool = carry
-        lp, li = xs
-        base = li * n_pages  # this layer's region of the folded page axis
-        y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = qmm(y, lp["wq"]).reshape(b, 1, h, hd)
-        kk = qmm(y, lp["wk"]).reshape(b, hkv, hd)
-        vv = qmm(y, lp["wv"]).reshape(b, hkv, hd)
-        q = M.apply_rope(q, cos, sin)
-        kk = M.apply_rope(kk[:, None], cos, sin)[:, 0]
-
-        # write each slot's new kv at its (layer-offset) page/offset.  One
-        # dynamic_update_slice per slot (static unroll, [Hkv, 1, 1, hd] each):
-        # DUS on the scan carry updates the pool IN PLACE, where a batched
-        # scatter made XLA materialize a fresh full-pool copy every step
-        # (measured 2.2 GB of temps and ~10x the step time at 2 slots).
-        upd_k = jnp.swapaxes(kk, 0, 1).astype(k_pool.dtype)  # [Hkv, B, hd]
-        upd_v = jnp.swapaxes(vv, 0, 1).astype(v_pool.dtype)
-        for bi in range(b):
-            at = (jnp.int32(0), base + page_ids[bi], offs[bi], jnp.int32(0))
-            k_pool = jax.lax.dynamic_update_slice(k_pool, upd_k[:, bi][:, None, None, :], at)
-            v_pool = jax.lax.dynamic_update_slice(v_pool, upd_v[:, bi][:, None, None, :], at)
-
-        g = h // hkv
-        qg = q[:, 0].reshape(b, hkv, g, hd)  # heads grouped per kv head
-        # the manual-DMA kernel needs tile-aligned page slices (lane dim 128,
-        # sublane mult of 8); tiny test/demo geometries fall back to XLA gather
-        if jax.devices()[0].platform == "tpu" and hd % 128 == 0 and page_size % 8 == 0:
-            from usdm_tpu.ops.paged_attention import paged_decode_attention
-
-            attn = paged_decode_attention(
-                qg, k_pool, v_pool, page_table + base, pos + 1,
-                sliding_window=cfg.sliding_window,
-            )
-        else:
-            from usdm_tpu.ops.paged_attention import paged_decode_attention_reference
-
-            attn = paged_decode_attention_reference(
-                qg, k_pool, v_pool, page_table + base, pos + 1,
-                sliding_window=cfg.sliding_window,
-            )
-        attn = attn.reshape(b, 1, h * hd)
-        x = x + _psum(qmm(attn, lp["wo"]), tp_axis)
-        y = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + _psum(
-            qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"]),
-            tp_axis,
-        )
-        return (x, k_pool, v_pool), None
-
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (x, kv.k_pages, kv.v_pages),
-        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
-    )
-    x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = (x[:, 0] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
-    if tp_axis is not None:  # lm_head is vocab-sharded: assemble full logits
-        logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
-    logits = jnp.where(allow_masks, logits, NEG_INF)
-    if do_sample:
-        keys, use = split_keys(keys)
-        nxt = sample_batched(logits, use, top_k, top_p, temperature,
-                             needs_filter=needs_filter)
-    else:
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    nxt = jnp.where(active, nxt, 0)
-    return nxt, keys, PagedKV(new_k, new_v)
-
-
-@partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample",
-                                   "needs_filter"),
-         donate_argnums=(1,))
-def paged_decode_step_chained(
-    params: M.Params,
-    kv: PagedKV,
-    cfg: MistralConfig,
-    tokens: jnp.ndarray,  # [B] previous step's token
-    seq_lens: jnp.ndarray,  # [B]
-    page_table: jnp.ndarray,  # [B, maxp]
-    active: jnp.ndarray,  # [B] bool (slot is DECODE this chain)
-    done: jnp.ndarray,  # [B] bool (slot hit its EOS earlier in the chain)
-    eos_ids: jnp.ndarray,  # [B]
-    allow_masks: jnp.ndarray,
-    page_size: int,
-    keys: jnp.ndarray,
-    top_k: jnp.ndarray,
-    top_p: jnp.ndarray,
-    temperature: jnp.ndarray,
-    do_sample: bool = False,
-    needs_filter: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
-    """One chained decode step with the EOS-freeze bookkeeping folded in:
-    -> (token [B], done' [B], seq_lens' [B], keys', kv').
-
-    `step_chain` dispatches this N times back-to-back with ONE host sync at
-    the end; folding the freeze/length updates into the jit makes each link
-    a single dispatch instead of one decode call plus four elementwise ops
-    (the extra dispatches cost ~1 ms/token over the tunnel)."""
-    nxt, keys, kv = paged_decode_step.__wrapped__(
-        params, kv, cfg, tokens, seq_lens, page_table,
-        jnp.logical_and(active, ~done), allow_masks, page_size,
-        keys, top_k, top_p, temperature,
-        do_sample=do_sample, needs_filter=needs_filter,
-    )
-    nxt = jnp.where(done, 0, nxt)
-    new_done = jnp.logical_or(done, nxt == eos_ids)
-    new_lens = jnp.where(done, seq_lens, seq_lens + 1)
-    return nxt, new_done, new_lens, keys, kv
-
-
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages"),
-         donate_argnums=(1,))
-def paged_verify_step(
-    params: M.Params,
-    kv: PagedKV,
-    cfg: MistralConfig,
-    tokens: jnp.ndarray,  # [B, K+1]: [current, draft_0, ..., draft_{K-1}]
-    seq_lens: jnp.ndarray,  # [B] position of tokens[:, 0]
-    page_table: jnp.ndarray,  # [B, maxp]
-    active: jnp.ndarray,  # [B] bool
-    allow_masks: jnp.ndarray,  # [B, V]
-    page_size: int,
-    n_ctx_pages: int,  # static bucket: pages gathered as attention context
-) -> Tuple[jnp.ndarray, PagedKV]:
-    """Speculative-decoding verification: one target forward over K+1 tokens
-    per slot -> greedy argmax at every position ([B, K+1]) and the target KV
-    written into the pages.
-
-    Column j's argmax is the target's prediction for position seq_lens+j+1;
-    the scheduler accepts the draft prefix that matches and emits one bonus
-    token — per-token cost is ~1/(accepted+1) target weight reads (the step
-    is weight-read bound at 7B-int8).  Rejected positions leave stale KV in
-    owned pages: kv-length masking hides it and the next round's writes
-    overwrite it (the K+1-token write span always covers the previous
-    round's rejected span).  Reference analog: vLLM's speculative decoding
-    worker; greedy-only, like the reference's default decode.
-    """
-    b, k1 = tokens.shape
-    hd = cfg.head_dim
-    h = _proj_dim(params["layers"]["wq"]) // hd
-    hkv = _proj_dim(params["layers"]["wk"]) // hd
-    cdt = jnp.dtype(cfg.dtype)
-    p = page_size
-    n_pages = kv.k_pages.shape[1] // cfg.num_layers
-    s_ctx = n_ctx_pages * p
-
-    positions = seq_lens[:, None] + jnp.arange(k1)[None]  # [B, K1]
-    x = params["embed"].astype(cdt)[tokens]  # [B, K1, D]
-    cos, sin = M.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-
-    trash = n_pages - 1
-    maxp = page_table.shape[1]
-    # per-(slot, token) write targets; inactive slots go to the trash page
-    w_pages = page_table[jnp.arange(b)[:, None],
-                         jnp.minimum(positions // p, maxp - 1)]  # [B, K1]
-    w_pages = jnp.where(active[:, None], w_pages, trash)
-    w_offs = positions % p
-
-    row_ids = page_table[:, :n_ctx_pages]  # [B, ncp] layer-relative
-    kv_pos = jnp.arange(s_ctx)[None]  # [1, S_ctx]
-    q_seg = jnp.where(active, 0, -1)[:, None] * jnp.ones((1, k1), jnp.int32)
-    kv_seg = jnp.where(
-        jnp.logical_and(kv_pos < (seq_lens + k1)[:, None], active[:, None]), 0, -1)
-
-    def body(carry, xs):
-        x, k_pool, v_pool = carry
-        lp, li = xs
-        base = li * n_pages
-        y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = qmm(y, lp["wq"]).reshape(b, k1, h, hd)
-        kk = qmm(y, lp["wk"]).reshape(b, k1, hkv, hd)
-        vv = qmm(y, lp["wv"]).reshape(b, k1, hkv, hd)
-        q = M.apply_rope(q, cos, sin)
-        kk = M.apply_rope(kk, cos, sin)
-
-        kk_t = kk.transpose(2, 0, 1, 3).astype(k_pool.dtype)  # [Hkv, B, K1, hd]
-        vv_t = vv.transpose(2, 0, 1, 3).astype(v_pool.dtype)
-        for bi in range(b):
-            for j in range(k1):
-                at = (jnp.int32(0), base + w_pages[bi, j], w_offs[bi, j], jnp.int32(0))
-                k_pool = jax.lax.dynamic_update_slice(
-                    k_pool, kk_t[:, bi, j][:, None, None, :], at)
-                v_pool = jax.lax.dynamic_update_slice(
-                    v_pool, vv_t[:, bi, j][:, None, None, :], at)
-
-        # context gather (includes the K+1 tokens just written)
-        abs_ids = base + row_ids  # [B, ncp]
-        kc = k_pool[:, abs_ids]  # [Hkv, B, ncp, P, hd]
-        vc = v_pool[:, abs_ids]
-        kc = kc.transpose(1, 2, 3, 0, 4).reshape(b, s_ctx, hkv, hd)
-        vc = vc.transpose(1, 2, 3, 0, 4).reshape(b, s_ctx, hkv, hd)
-        attn = mha(
-            q, kc.astype(cdt), vc.astype(cdt),
-            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-            q_positions=positions, kv_positions=jnp.broadcast_to(kv_pos, (b, s_ctx)),
-            causal=True, sliding_window=cfg.sliding_window, impl="xla",
-        )
-        x = x + qmm(attn.reshape(b, k1, h * hd), lp["wo"])
-        y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]),
-                    lp["w_down"])
-        return (x, k_pool, v_pool), None
-
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (x, kv.k_pages, kv.v_pages),
-        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
-    )
-    x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
-    logits = jnp.where(allow_masks[:, None, :], logits, NEG_INF)
-    out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K1]
-    return out, PagedKV(new_k, new_v)
-
-
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages"),
-         donate_argnums=(1,))
-def paged_spec_accept(
-    params: M.Params,
-    kv: PagedKV,
-    cfg: MistralConfig,
-    ver_in: jnp.ndarray,  # [B, K+1]: [current, drafts...]
-    seq_lens: jnp.ndarray,  # [B]
-    done: jnp.ndarray,  # [B] bool: frozen (EOS'd earlier in this chain)
-    eos_ids: jnp.ndarray,  # [B]
-    page_table: jnp.ndarray,
-    active: jnp.ndarray,
-    allow_masks: jnp.ndarray,
-    page_size: int,
-    n_ctx_pages: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
-    """Verification + ON-DEVICE acceptance for a chained speculative round:
-    -> (tokens [B, K+1], n_emit [B], next_cur [B], done' [B], seq_lens' [B],
-    kv').
-
-    Folding the accept/EOS/length logic into the jit lets the scheduler run
-    R rounds back-to-back with ONE host sync (host round-trips otherwise
-    dominate the round: 2 syncs cost more than the draft+verify compute)."""
-    b, k1 = ver_in.shape
-    live = jnp.logical_and(active, ~done)
-    out, kv = paged_verify_step.__wrapped__(
-        params, kv, cfg, ver_in, seq_lens, page_table, live, allow_masks,
-        page_size, n_ctx_pages,
-    )
-    # accepted prefix: drafts d_j (= ver_in[:, j+1]) matching target out[:, j]
-    matches = ver_in[:, 1:] == out[:, :-1]  # [B, K]
-    n_acc = jnp.cumprod(matches.astype(jnp.int32), axis=1).sum(axis=1)  # [B]
-    cols = jnp.arange(k1)[None]
-    # emitted tokens are out[:, :n_acc+1]; truncate at the first EOS inside
-    is_eos = jnp.logical_and(out == eos_ids[:, None], cols <= n_acc[:, None])
-    has_eos = is_eos.any(axis=1)
-    eos_pos = jnp.argmax(is_eos, axis=1)
-    n_emit = jnp.where(has_eos, eos_pos + 1, n_acc + 1)
-    n_emit = jnp.where(live, n_emit, 0)
-    out = jnp.where((cols < n_emit[:, None]), out, 0)
-    next_cur = jnp.where(
-        live, out[jnp.arange(b), jnp.maximum(n_emit - 1, 0)], ver_in[:, 0])
-    new_done = jnp.logical_or(done, has_eos)
-    new_lens = seq_lens + n_emit
-    return out, n_emit, next_cur, new_done, new_lens, kv
-
-
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
-         donate_argnums=(1,))
-def paged_prefill_chunk(
-    params: M.Params,
-    kv: PagedKV,
-    cfg: MistralConfig,
-    chunk_ids: jnp.ndarray,  # [C] right-padded chunk of prompt tokens
-    start: jnp.ndarray,  # [] int32: tokens already written for this slot
-    n_valid: jnp.ndarray,  # [] int32: valid tokens in this chunk
-    page_table_row: jnp.ndarray,  # [maxp] this request's pages
-    page_size: int,
-    n_ctx_pages: int,  # static: pages gathered as attention context
-    tp_axis: Optional[str] = None,  # see paged_decode_step
-) -> Tuple[jnp.ndarray, PagedKV]:
-    """Prefill one chunk of one request into its pages.
-
-    Chunk queries attend to the request's previously-written pages plus the
-    chunk itself (causal); K/V land directly in the page pool, so a prompt of
-    any length streams through in `C`-token slices interleaved with decode
-    steps (vLLM chunked prefill; reference admission is monolithic,
-    inference_vllm.py:109).  Returns (last-valid-token logits [V] f32, kv').
-    """
-    c = chunk_ids.shape[0]
-    hd = cfg.head_dim
-    h = _proj_dim(params["layers"]["wq"]) // hd
-    hkv = _proj_dim(params["layers"]["wk"]) // hd
-    cdt = jnp.dtype(cfg.dtype)
-    p = page_size
-    s_ctx = n_ctx_pages * p
-
-    positions = (start + jnp.arange(c))[None]  # [1, C] absolute
-    q_seg = jnp.where(jnp.arange(c)[None] < n_valid, 0, -1)
-    x = params["embed"].astype(cdt)[chunk_ids][None]  # [1, C, D]
-    cos, sin = M.rope_tables(positions, cfg.head_dim, cfg.rope_theta)
-
-    # write targets: chunk token i lives at global index start+i
-    n_pages = kv.k_pages.shape[1] // cfg.num_layers
-    gidx = start + jnp.arange(c)
-    pages_t = page_table_row[jnp.minimum(gidx // p, page_table_row.shape[0] - 1)]
-    trash = n_pages - 1
-    pages_t = jnp.where(jnp.arange(c) < n_valid, pages_t, trash)
-    offs_t = gidx % p
-
-    # context: the first n_ctx_pages of this row (covers start + C tokens);
-    # rows beyond the allocation point at page 0 — masked out by kv_seg below.
-    row_ids = page_table_row[:n_ctx_pages]
-    kv_pos = jnp.arange(s_ctx)[None]  # [1, S_ctx]
-    kv_seg = jnp.where(kv_pos < start + n_valid, 0, -1)
-
-    def body(carry, xs):
-        x, k_pool, v_pool = carry
-        lp, li = xs
-        base = li * n_pages
-        y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-        q = qmm(y, lp["wq"]).reshape(1, c, h, hd)
-        kk = qmm(y, lp["wk"]).reshape(1, c, hkv, hd)
-        vv = qmm(y, lp["wv"]).reshape(1, c, hkv, hd)
-        q = M.apply_rope(q, cos, sin)
-        kk = M.apply_rope(kk, cos, sin)
-
-        kk_t = kk[0].transpose(1, 0, 2).astype(k_pool.dtype)  # [Hkv, C, hd]
-        vv_t = vv[0].transpose(1, 0, 2).astype(v_pool.dtype)
-        if c % p == 0:
-            # chunk starts are always multiples of the (static) chunk size, so
-            # when the page size divides the chunk, the chunk covers exactly
-            # c/p whole pages: write each as one in-place dynamic_update_slice
-            # (the batched scatter forces XLA to copy the full pool — see the
-            # decode-step comment).  Fully-invalid pages (beyond n_valid, i.e.
-            # past this prompt's page allocation) go to the trash page;
-            # partially-valid pages keep their padding garbage, which kv_len
-            # masking hides and later writes overwrite.
-            kk_p = kk_t.reshape(hkv, c // p, p, hd)
-            vv_p = vv_t.reshape(hkv, c // p, p, hd)
-            maxp = page_table_row.shape[0]
-            for j in range(c // p):
-                pg = page_table_row[jnp.minimum(start // p + j, maxp - 1)]
-                pg = jnp.where(j * p < n_valid, pg, trash)
-                at = (jnp.int32(0), base + pg, jnp.int32(0), jnp.int32(0))
-                k_pool = jax.lax.dynamic_update_slice(k_pool, kk_p[:, j][:, None], at)
-                v_pool = jax.lax.dynamic_update_slice(v_pool, vv_p[:, j][:, None], at)
-        else:  # unaligned (small-page test geometries): scatter fallback
-            k_pool = k_pool.at[:, base + pages_t, offs_t].set(kk_t)
-            v_pool = v_pool.at[:, base + pages_t, offs_t].set(vv_t)
-
-        # gather this request's context (including the chunk just written)
-        kc = k_pool[:, base + row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
-        vc = v_pool[:, base + row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
-        attn = mha(
-            q, kc.astype(cdt), vc.astype(cdt),
-            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-            q_positions=positions, kv_positions=kv_pos,
-            causal=True, sliding_window=cfg.sliding_window, impl="auto",
-        )
-        x = x + _psum(qmm(attn.reshape(1, c, h * hd), lp["wo"]), tp_axis)
-        y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + _psum(
-            qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]), lp["w_down"]),
-            tp_axis,
-        )
-        return (x, k_pool, v_pool), None
-
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (x, kv.k_pages, kv.v_pages),
-        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
-    )
-    x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    last = jnp.clip(n_valid - 1, 0, c - 1)
-    logits = (x[0, last] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
-    if tp_axis is not None:
-        logits = jax.lax.all_gather(logits, tp_axis, axis=0, tiled=True)
-    return logits, PagedKV(new_k, new_v)
-
-
-@partial(jax.jit, static_argnames=("do_sample",))
-def sample_next(
-    logits: jnp.ndarray,  # [V] f32 unmasked
-    allow: jnp.ndarray,  # [V] bool
-    key: jnp.ndarray,  # [2] uint32
-    top_k: jnp.ndarray,
-    top_p: jnp.ndarray,
-    temperature: jnp.ndarray,
-    do_sample: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Mask + sample one token (first token after prefill) -> (token, key')."""
-    masked = jnp.where(allow, logits, NEG_INF)[None]
-    if do_sample:
-        ks = jax.random.split(key, 2)
-        tok = sample_batched(
-            masked, ks[1][None],
-            jnp.asarray(top_k, jnp.int32)[None],
-            jnp.asarray(top_p, jnp.float32)[None],
-            jnp.asarray(temperature, jnp.float32)[None],
-        )[0]
-        return tok, ks[0]
-    return jnp.argmax(masked[0]).astype(jnp.int32), key
-
 
 # ---------------------------------------------------------------------------
 # Host-side scheduler (continuous batching)
@@ -1259,58 +779,3 @@ class PagedEngine:
         return requests
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "page_size", "n_steps", "do_sample"),
-    donate_argnums=(1,),
-)
-def paged_decode_multi(
-    params: M.Params,
-    kv: PagedKV,
-    cfg: MistralConfig,
-    tokens: jnp.ndarray,  # [B]
-    seq_lens: jnp.ndarray,  # [B]
-    page_table: jnp.ndarray,  # [B, maxp]
-    active: jnp.ndarray,  # [B] bool
-    allow_masks: jnp.ndarray,  # [B, V]
-    eos_ids: jnp.ndarray,  # [B]
-    page_size: int,
-    keys: jnp.ndarray,  # [B, 2] uint32
-    top_k: jnp.ndarray,
-    top_p: jnp.ndarray,
-    temperature: jnp.ndarray,
-    do_sample: bool = False,
-    n_steps: int = 8,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
-    """Run up to `n_steps` decode steps fully on device.
-
-    Cuts the per-token host round-trip of `step()` (over a tunneled TPU that
-    RTT dominates): the scheduler only syncs every `n_steps` tokens.  Rows
-    freeze at their own EOS; returns (tokens [B, n_steps], n_emitted [B],
-    keys', kv).
-    """
-    b = tokens.shape[0]
-
-    def body(i, carry):
-        kv, tok, lens, done, keys, out = carry
-        nxt, keys, kv = paged_decode_step.__wrapped__(
-            params, kv, cfg, tok, lens, page_table,
-            jnp.logical_and(active, ~done), allow_masks, page_size,
-            keys, top_k, top_p, temperature, do_sample=do_sample,
-        )
-        nxt = jnp.where(done, 0, nxt)
-        out = out.at[:, i].set(nxt)
-        new_done = jnp.logical_or(done, nxt == eos_ids)
-        lens = jnp.where(done, lens, lens + 1)
-        return kv, nxt, lens, new_done, keys, out
-
-    out0 = jnp.zeros((b, n_steps), jnp.int32)
-    done0 = ~active
-    kv, _, lens, done, keys, out = jax.lax.fori_loop(
-        0, n_steps, body, (kv, tokens, seq_lens, done0, keys, out0)
-    )
-    is_eos = out == eos_ids[:, None]
-    any_eos = jnp.any(is_eos, axis=1)
-    eos_pos = jnp.argmax(is_eos, axis=1)
-    n_emitted = jnp.where(active, jnp.where(any_eos, eos_pos + 1, n_steps), 0)
-    return out, n_emitted, keys, kv
