@@ -144,6 +144,12 @@ class PagedEngine:
         # [B, V] mask upload per step would dominate tunnel traffic otherwise)
         self._allow_dev = jnp.ones((b, cfg.vocab_size), bool)
         self._keys_dev = jnp.zeros((b, 2), jnp.uint32)
+        # device mirrors of slot state that only changes at admission /
+        # window-reclaim: re-uploading table/eos/sampling params on every
+        # chain link adds up over a tunneled TPU (dozens of tiny transfers
+        # per decoded token otherwise)
+        self._dev_dirty = True
+        self._slot_dev = None  # (table, eos, top_k, top_p, temp)
         self.slot_req: List[Optional[Request]] = [None] * b
         self.slot_pages: List[List[int]] = [[] for _ in range(b)]
         # sliding-window reclaim: count of leading pages already returned to
@@ -250,6 +256,7 @@ class PagedEngine:
         self._allow_dev = self._allow_dev.at[slot].set(jnp.asarray(req.allow_mask))
         key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
         self._keys_dev = self._keys_dev.at[slot].set(jnp.asarray(key))
+        self._dev_dirty = True
 
     def _try_admit(self) -> None:
         """Assign waiting requests to free slots + pages (no compute here).
@@ -362,6 +369,18 @@ class PagedEngine:
         if first == req.eos_id or len(req.output_ids) >= req.max_new_tokens:
             self._finish(slot)
 
+    def _slot_state_dev(self):
+        """(table, eos, top_k, top_p, temp) device arrays, re-uploaded only
+        when host-side slot state changed."""
+        if self._dev_dirty or self._slot_dev is None:
+            self._slot_dev = (
+                jnp.asarray(self.page_table), jnp.asarray(self.eos),
+                jnp.asarray(self.top_k), jnp.asarray(self.top_p),
+                jnp.asarray(self.temp),
+            )
+            self._dev_dirty = False
+        return self._slot_dev
+
     def stats(self) -> dict:
         """Serving telemetry (vLLM metrics analog): device steps, tokens
         emitted, request counts, speculation acceptance, pool occupancy."""
@@ -451,6 +470,8 @@ class PagedEngine:
             self.free_pages.append(self.slot_pages[slot][r])
             self.page_table[slot, r] = trash
             r += 1
+        if r != int(self.released[slot]):
+            self._dev_dirty = True
         self.released[slot] = r
 
     def _do_sample(self) -> bool:
@@ -488,13 +509,14 @@ class PagedEngine:
                 jnp.asarray(self.temp), do_sample=self._do_sample(),
             )
         else:
+            table, eos, tk, tp_, tmp = self._slot_state_dev()
             nxt, self._keys_dev, self.kv = paged_decode_step(
                 self.params, self.kv, self.cfg,
                 jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
-                jnp.asarray(self.page_table), jnp.asarray(dec),
+                table, jnp.asarray(dec),
                 self._allow_dev, self.ecfg.page_size,
-                self._keys_dev, jnp.asarray(self.top_k), jnp.asarray(self.top_p),
-                jnp.asarray(self.temp), do_sample=self._do_sample(),
+                self._keys_dev, tk, tp_,
+                tmp, do_sample=self._do_sample(),
                 needs_filter=self._needs_filter(),
             )
         if self.draft_params is not None:
@@ -502,10 +524,11 @@ class PagedEngine:
             # draft cache has no holes when speculative rounds resume
             ones_i = jnp.ones(self.ecfg.max_batch_size, jnp.int32)
             ones_f = jnp.ones(self.ecfg.max_batch_size, jnp.float32)
+            table, _, _, _, _ = self._slot_state_dev()
             _, _, self.draft_kv = paged_decode_step(
                 self.draft_params, self.draft_kv, self.draft_cfg,
                 jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
-                jnp.asarray(self.page_table), jnp.asarray(dec),
+                table, jnp.asarray(dec),
                 self._allow_dev, self.ecfg.page_size,
                 jnp.zeros((self.ecfg.max_batch_size, 2), jnp.uint32),
                 ones_i, ones_f, ones_f, do_sample=False,
@@ -556,14 +579,15 @@ class PagedEngine:
         if not dec.any():
             return int((self.status != FREE).sum())
         n_steps = self._safe_horizon(n_steps, dec)
+        table, eos, tk_d, tp_d, tmp_d = self._slot_state_dev()
         toks, n_emitted, self._keys_dev, self.kv = paged_decode_multi(
             self.params, self.kv, self.cfg,
             jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
-            jnp.asarray(self.page_table), jnp.asarray(dec),
-            self._allow_dev, jnp.asarray(self.eos),
+            table, jnp.asarray(dec),
+            self._allow_dev, eos,
             self.ecfg.page_size,
-            self._keys_dev, jnp.asarray(self.top_k), jnp.asarray(self.top_p),
-            jnp.asarray(self.temp), do_sample=self._do_sample(),
+            self._keys_dev, tk_d, tp_d,
+            tmp_d, do_sample=self._do_sample(),
             n_steps=n_steps,
         )
         toks = np.asarray(toks)
@@ -596,12 +620,8 @@ class PagedEngine:
         do_sample = self._do_sample()
         tok = jnp.asarray(self.tokens)
         lens = jnp.asarray(self.seq_lens)
-        table = jnp.asarray(self.page_table)
+        table, eos, tk, tp_, tmp = self._slot_state_dev()
         active = jnp.asarray(dec)
-        eos = jnp.asarray(self.eos)
-        tk = jnp.asarray(self.top_k)
-        tp_ = jnp.asarray(self.top_p)
-        tmp = jnp.asarray(self.temp)
         done = ~active
         outs = []
         for _ in range(n_steps):
@@ -706,10 +726,9 @@ class PagedEngine:
             return self.step()
         active = jnp.asarray(dec)
         lens = jnp.asarray(self.seq_lens)
-        table = jnp.asarray(self.page_table)
+        table, eos, _, _, _ = self._slot_state_dev()
         cur = jnp.asarray(self.tokens)
         done = jnp.asarray(~dec)
-        eos = jnp.asarray(self.eos)
         keys = self._keys_dev
         ones_i = jnp.ones(self.ecfg.max_batch_size, jnp.int32)
         ones_f = jnp.ones(self.ecfg.max_batch_size, jnp.float32)
