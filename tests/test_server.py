@@ -169,3 +169,19 @@ def test_early_exit_self_draft_matches_plain():
     finally:
         spec.close()
     assert res_a.stage_tokens == res_b.stage_tokens
+
+
+def test_ttft_reported(params, rng):
+    """Time-to-first-token is recorded per request and aggregated in stats."""
+    eng = PagedEngine(params, CFG, ECFG)
+    reqs = [_mk_req(rng, i) for i in range(2)]
+    eng.run(reqs)
+    for r in reqs:
+        assert r.ttft_s is not None and 0 <= r.ttft_s < 60
+    st = eng.stats()
+    assert st["ttft_mean_s"] is not None and st["ttft_max_s"] >= st["ttft_mean_s"] - 1e-9
+
+
+def _mk_req(rng, rid):
+    return Request(rid, rng.integers(3, CFG.vocab_size, size=10).tolist(),
+                   np.ones(CFG.vocab_size, bool), eos_id=1, max_new_tokens=4)

@@ -81,6 +81,8 @@ class Request:
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
+    t_submit: float = 0.0  # set by PagedEngine.submit
+    ttft_s: Optional[float] = None  # submit -> first token latency
     error: Optional[str] = None  # set instead of raising (scheduler runs on a
     # background thread in EngineServer; an exception there would hang callers)
 
@@ -182,6 +184,9 @@ class PagedEngine:
             if self.draft_cfg.vocab_size != cfg.vocab_size:
                 raise ValueError("draft vocab must match the target's")
             self.draft_kv = PagedKV.create(self.draft_cfg, n_pages, ps)
+        from collections import deque
+
+        self._ttfts = deque(maxlen=200)  # recent time-to-first-token samples
         self.spec_rounds = 0  # telemetry: rounds run / tokens accepted
         self.spec_emitted = 0
         self.total_emitted = 0  # all tokens emitted across requests
@@ -201,6 +206,9 @@ class PagedEngine:
 
     # ------------------------------------------------------------ scheduling
     def submit(self, req: Request) -> None:
+        import time as _t
+
+        req.t_submit = _t.time()
         self.waiting.append(req)
 
     def _pages_needed(self, n_tokens: int) -> int:
@@ -362,6 +370,10 @@ class PagedEngine:
         )
         self._keys_dev = self._keys_dev.at[slot].set(new_key)
         first = int(tok)
+        import time as _t
+
+        req.ttft_s = _t.time() - req.t_submit
+        self._ttfts.append(req.ttft_s)
         req.output_ids.append(first)
         self.seq_lens[slot] = len(req.prompt_ids)
         self.tokens[slot] = first
@@ -399,6 +411,9 @@ class PagedEngine:
             "spec_emitted": self.spec_emitted,
             "spec_accept_per_round": round(self.spec_emitted / self.spec_rounds, 3)
             if self.spec_rounds else None,
+            "ttft_mean_s": round(sum(self._ttfts) / len(self._ttfts), 4)
+            if self._ttfts else None,
+            "ttft_max_s": round(max(self._ttfts), 4) if self._ttfts else None,
         }
 
     def _finish(self, slot: int) -> None:
