@@ -246,3 +246,47 @@ def test_load_xlsr_fairseq2_checkpoint(tmp_path, rng):
     units, ulen = X.extract_units(params, loaded_cfg, wav, output_layer=loaded_cfg.num_layers)
     u = np.asarray(units)[0, : int(ulen[0])]
     assert (u >= 0).all() and (u < cfg.num_clusters).all()
+
+
+def test_save_mistral_hf_roundtrip(tmp_path, rng):
+    """save_mistral_hf -> load_mistral reproduces identical logits (our
+    trained checkpoints feed our own inference / any HF consumer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from usdm_tpu.core import checkpoint as ckpt
+    from usdm_tpu.core.config import MistralConfig
+    from usdm_tpu.models import mistral as M
+
+    cfg = MistralConfig.tiny(vocab_size=128)
+    params = M.init_params(cfg, jax.random.PRNGKey(3), dtype="float32")
+    d = str(tmp_path / "hf")
+    ckpt.save_mistral_hf(d, params, cfg, save_dtype="float32")
+
+    re_params, re_cfg = ckpt.load_mistral(d, dtype="float32")
+    assert re_cfg.vocab_size == cfg.vocab_size
+    assert re_cfg.num_layers == cfg.num_layers
+    ids = jnp.asarray(rng.integers(0, 128, (1, 16)))
+    with jax.default_matmul_precision("highest"):
+        a = M.forward(params, cfg, ids, attn_impl="xla")
+        b = M.forward(re_params, re_cfg, ids, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_train_pt_export_hf_smoke(tmp_path):
+    """train_pt --tiny --export_hf emits a loadable HF dir."""
+    from usdm_tpu.cli.train_pt import main as pt_main
+    from usdm_tpu.core import checkpoint as ckpt
+
+    data = tmp_path / "packed"
+    data.mkdir()
+    rows = [" ".join(str(i % 500) for i in range(32)) for _ in range(4)]
+    (data / "part0.txt").write_text("\n".join(rows))
+    out = str(tmp_path / "out")
+    exp = str(tmp_path / "hf")
+    rc = pt_main(["--output_dir", out, "--data_path", str(data), "--tiny",
+                  "--max_steps", "2", "--train_batch_size", "8",
+                  "--max_input_length", "32", "--export_hf", exp])
+    assert rc == 0
+    params, cfg = ckpt.load_mistral(exp)
+    assert params["embed"].shape[0] == cfg.vocab_size

@@ -76,6 +76,10 @@ def main(argv=None) -> int:
     p.add_argument("--offload", action="store_true",
                    help="Adam moments in pinned host memory (ZeRO offload analog; "
                         "needed for 7B on v5e-8 — see docs/MEMORY.md)")
+    p.add_argument("--export_hf", default=None,
+                   help="after training, export the final params as an "
+                        "HF-Mistral dir (loadable by our inference CLIs and "
+                        "any HF-layout consumer)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for the first N steps")
     args = p.parse_args(argv)
@@ -220,6 +224,13 @@ def main(argv=None) -> int:
 
     run_eval(args.max_steps)
     save_ckpt(args.max_steps)
+    if args.export_hf:
+        # reference training emits HF-layout checkpoints (HF Trainer +
+        # stage3_gather_16bit_weights_on_model_save); this closes the loop so
+        # our trained weights feed our own (or any HF) inference directly
+        ckpt.save_mistral_hf(args.export_hf, jax.device_get(state.params), cfg,
+                             tokenizer=tokenizer)
+        print(f"exported HF dir: {args.export_hf}")
     logger.close()
     print("done")
     return 0

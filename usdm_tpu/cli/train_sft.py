@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     p.add_argument("--lora_r", type=int, default=8)
     p.add_argument("--lora_alpha", type=int, default=64)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--export_hf", default=None,
+                   help="after training, export final params (LoRA merged if "
+                        "--lora) as an HF-Mistral dir")
     args = p.parse_args(argv)
 
     import jax
@@ -101,6 +104,12 @@ def main(argv=None) -> int:
                 print(f"step {step + 1}: loss={float(metrics['loss']):.4f}")
             if (step + 1) % args.save_steps == 0 or step + 1 == max_steps:
                 ckpt.save_train_state(ckpt_dir, {"lora": lora}, step + 1)
+        if args.export_hf:
+            from usdm_tpu.train.lora import merge_lora
+
+            merged = merge_lora(jax.device_get(base_dev), jax.device_get(lora))
+            ckpt.save_mistral_hf(args.export_hf, merged, cfg)
+            print(f"exported HF dir (LoRA merged): {args.export_hf}")
     else:
         opt = T.make_optimizer(tc)
         state, shardings = T.init_state(cfg, tc, mesh, key, opt)
@@ -117,6 +126,12 @@ def main(argv=None) -> int:
                 print(f"step {step + 1}: loss={float(metrics['loss']):.4f}")
             if (step + 1) % args.save_steps == 0 or step + 1 == max_steps:
                 ckpt.save_train_state(ckpt_dir, state, step + 1, keep=tc.keep_checkpoints)
+        if args.export_hf:
+            ckpt.save_mistral_hf(
+                args.export_hf,
+                jax.device_get(jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                                            state.params)), cfg)
+            print(f"exported HF dir: {args.export_hf}")
 
     logger.close()
     print("done")

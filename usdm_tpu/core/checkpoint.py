@@ -103,6 +103,76 @@ def load_mistral(path: str, cfg=None, dtype: Optional[str] = None):
     return convert_hf_state_dict(state, cfg, dtype=dtype), cfg
 
 
+def save_mistral_hf(path: str, params, cfg, tokenizer=None,
+                    save_dtype: str = "bfloat16") -> None:
+    """Export our LM params to an HF-MistralForCausalLM directory
+    (config.json + model.safetensors, and the tokenizer if given).
+
+    The inverse of `load_mistral` / `convert_hf_state_dict`: unstacks the
+    scan's leading layer axis and transposes back to nn.Linear's [out, in].
+    Lets checkpoints trained here feed any HF-layout consumer — including
+    our own inference CLIs and the reference implementation (the reference
+    trains through HF Trainer, so its artifacts are HF dirs; ours become
+    interchangeable).  torch.bfloat16 round-trips through safetensors;
+    `save_dtype="float32"` widens for consumers that can't read bf16."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    hf_cfg = {
+        "architectures": ["MistralForCausalLM"],
+        "model_type": "mistral",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "sliding_window": cfg.sliding_window,
+        "tie_word_embeddings": False,
+        "torch_dtype": save_dtype,
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+
+    # bf16 numpy arrays carry a non-standard dtype; safetensors handles
+    # them via ml_dtypes.  float32 export stays plain numpy.
+    dt = jnp.dtype(save_dtype)
+
+    def to_np(x):
+        return np.asarray(jnp.asarray(x).astype(dt))
+
+    sd = {
+        "model.embed_tokens.weight": to_np(params["embed"]),
+        "model.norm.weight": to_np(params["final_norm"]),
+        "lm_head.weight": to_np(jnp.swapaxes(jnp.asarray(params["lm_head"]), 0, 1)),
+    }
+    names = {
+        "ln1": ("input_layernorm.weight", False),
+        "ln2": ("post_attention_layernorm.weight", False),
+        "wq": ("self_attn.q_proj.weight", True),
+        "wk": ("self_attn.k_proj.weight", True),
+        "wv": ("self_attn.v_proj.weight", True),
+        "wo": ("self_attn.o_proj.weight", True),
+        "w_gate": ("mlp.gate_proj.weight", True),
+        "w_up": ("mlp.up_proj.weight", True),
+        "w_down": ("mlp.down_proj.weight", True),
+    }
+    for ours, (theirs, transpose) in names.items():
+        stacked = jnp.asarray(params["layers"][ours])
+        for i in range(cfg.num_layers):
+            layer = stacked[i]
+            if transpose:
+                layer = jnp.swapaxes(layer, 0, 1)
+            sd[f"model.layers.{i}.{theirs}"] = to_np(layer)
+    save_file(sd, os.path.join(path, "model.safetensors"))
+    if tokenizer is not None:
+        tokenizer.save(path)
+
+
 def load_voicebox(path: str, cfg=None):
     """Local HubMixin Voicebox dir -> (params, VoiceboxConfig)."""
     from usdm_tpu.core.config import VoiceboxConfig
