@@ -290,3 +290,54 @@ def test_train_pt_export_hf_smoke(tmp_path):
     assert rc == 0
     params, cfg = ckpt.load_mistral(exp)
     assert params["embed"].shape[0] == cfg.vocab_size
+
+
+def test_save_voicebox_hub_roundtrip(tmp_path, rng):
+    """save_voicebox_hub -> load_voicebox reproduces identical estimator
+    outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from usdm_tpu.core import checkpoint as ckpt
+    from usdm_tpu.core.config import VoiceboxConfig
+    from usdm_tpu.models import voicebox as VB
+
+    cfg = VoiceboxConfig.tiny()
+    params = VB.init_params(cfg, jax.random.PRNGKey(4))
+    d = str(tmp_path / "vb")
+    ckpt.save_voicebox_hub(d, params, cfg)
+    re_params, re_cfg = ckpt.load_voicebox(d)
+    assert re_cfg.num_layers == cfg.num_layers
+
+    B, T = 1, 12
+    x = jnp.asarray(rng.integers(0, cfg.n_tokens, (B, T)))
+    z = jnp.asarray(rng.standard_normal((B, cfg.n_feats, T)), jnp.float32)
+    c = jnp.zeros((B, cfg.n_feats, T), jnp.float32)
+    t = jnp.full((B,), 0.3, jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    with jax.default_matmul_precision("highest"):
+        a = VB.estimator(params, cfg, x, z, c, t, lens, attn_impl="xla")
+        b = VB.estimator(re_params, re_cfg, x, z, c, t, lens, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_save_bigvgan_roundtrip(tmp_path, rng):
+    """save_bigvgan_generator -> load_bigvgan reproduces identical audio."""
+    import jax
+    import jax.numpy as jnp
+
+    from usdm_tpu.core import checkpoint as ckpt
+    from usdm_tpu.core.config import BigVGANConfig
+    from usdm_tpu.models import bigvgan as BGV
+
+    cfg = BigVGANConfig.tiny()
+    params = BGV.init_generator(cfg, jax.random.PRNGKey(5))
+    d = str(tmp_path / "bv")
+    ckpt.save_bigvgan_generator(d, params, cfg)
+    re_params, re_cfg = ckpt.load_bigvgan(d)
+
+    mel = jnp.asarray(rng.standard_normal((1, cfg.num_mels, 9)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        a = BGV.generator(params, cfg, mel)
+        b = BGV.generator(re_params, re_cfg, mel)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -131,11 +131,17 @@ def test_train_vocoder_cli_smoke(wav_corpus, tmp_path):
 
     wavs_dir, train_list, _ = wav_corpus
     out = str(tmp_path / "run")
+    exp = str(tmp_path / "exported")
     rc = main([
         "--output_dir", out, "--input_wavs_dir", wavs_dir,
         "--input_training_file", train_list, "--input_validation_file", train_list,
         "--tiny", "--batch_size", "8", "--segment_size", "1024",
-        "--max_steps", "2", "--n_epochs", "1",
+        "--max_steps", "2", "--n_epochs", "1", "--export", exp,
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "checkpoints"))
+    # exported generator is loadable (reference bigvgan_generator.pt layout)
+    from usdm_tpu.core import checkpoint as ckpt
+
+    params, _ = ckpt.load_bigvgan(exp)
+    assert "conv_pre_w" in params

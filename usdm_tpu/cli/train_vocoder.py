@@ -42,6 +42,9 @@ def main(argv=None) -> int:
                    help="condition on precomputed mels from --base_mels_path (meldataset.py:150)")
     p.add_argument("--base_mels_path", default=None)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--export", default=None,
+                   help="after training, export the generator as config.json "
+                        "+ bigvgan_generator.pt (reference layout)")
     args = p.parse_args(argv)
 
     import jax
@@ -145,6 +148,9 @@ def main(argv=None) -> int:
         if (epoch + 1) % args.save_every == 0:
             ckpt.save_train_state(ckpt_dir, state, epoch + 1)
     ckpt.save_train_state(ckpt_dir, state, args.n_epochs if not args.max_steps else gstep)
+    if args.export:
+        ckpt.save_bigvgan_generator(args.export, jax.device_get(state.gen_params), cfg)
+        print(f"exported generator: {args.export}")
     logger.close()
     print("done")
     return 0

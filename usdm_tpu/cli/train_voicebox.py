@@ -37,6 +37,9 @@ def main(argv=None) -> int:
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--synthesize_every", type=int, default=1,
                    help="epochs between audio smoke tests (0 = off)")
+    p.add_argument("--export_hub", default=None,
+                   help="after training, export params as a HubMixin dir "
+                        "(loadable by our inference / load_voicebox)")
     p.add_argument("--bigvgan_dir", default=None,
                    help="vocode eval mels into audible smoke tests "
                         "(reference scripts/train.py:277-302)")
@@ -133,6 +136,11 @@ def main(argv=None) -> int:
         if (epoch + 1) % args.save_every == 0:
             ckpt.save_train_state(ckpt_dir, state, epoch + 1)
     ckpt.save_train_state(ckpt_dir, state, args.n_epochs if not args.max_steps else gstep)
+    if args.export_hub:
+        # reference training saves a HubMixin dir alongside raw .pt every
+        # epoch (decoder/scripts/train.py:305-318)
+        ckpt.save_voicebox_hub(args.export_hub, jax.device_get(state.params), cfg)
+        print(f"exported HubMixin dir: {args.export_hub}")
     logger.close()
     print("done")
     return 0

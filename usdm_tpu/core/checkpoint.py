@@ -199,6 +199,121 @@ def load_voicebox(path: str, cfg=None):
     return convert_reference_state_dict(state, cfg), cfg
 
 
+def save_voicebox_hub(path: str, params, cfg) -> None:
+    """Export Voicebox params as a HubMixin-style dir (config.json +
+    pytorch_model.bin with estimator.* keys) — the format the reference's
+    training saves (decoder/scripts/train.py:305-318) and our `load_voicebox`
+    reads back.  Conv weights are written folded (plain `.weight`, the
+    remove_weight_norm'd form both loaders accept)."""
+    import torch
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({
+            "n_feats": cfg.n_feats, "n_tokens": cfg.n_tokens,
+            "embedding_dim": cfg.embedding_dim, "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_attention_heads": cfg.num_heads,
+            "num_hidden_layers": cfg.num_layers,
+            "convpos_width": cfg.convpos_width,
+            "convpos_groups": cfg.convpos_groups,
+            "convpos_depth": cfg.convpos_depth,
+            "sigma_min": cfg.sigma_min,
+        }, f, indent=2)
+
+    def t(x):
+        return torch.from_numpy(np.array(x, np.float32))  # copy: torch wants writable
+
+    p = params
+    sd = {
+        "estimator.embed.weight": t(p["embed"]),
+        # ours [in, out] -> torch Conv1d-1x1 [out, in, 1]
+        "estimator.proj_in.weight": t(np.asarray(p["proj_in_w"]).T[:, :, None]),
+        "estimator.proj_in.bias": t(p["proj_in_b"]),
+        "estimator.proj_out.weight": t(np.asarray(p["proj_out_w"]).T[:, :, None]),
+        "estimator.proj_out.bias": t(p["proj_out_b"]),
+        "estimator.layer_norm.weight": t(p["ln0_w"]),
+        "estimator.layer_norm.bias": t(p["ln0_b"]),
+    }
+    for i in range(cfg.convpos_depth):
+        # ours [w, in/g, out] -> torch [out, in/g, w] (folded weight)
+        sd[f"estimator.pos_conv_embeds.{i}.conv.weight"] = t(
+            np.asarray(p["convpos_w"][i]).transpose(2, 1, 0))
+        sd[f"estimator.pos_conv_embeds.{i}.conv.bias"] = t(p["convpos_b"][i])
+    lp = p["layers"]
+    names = [("wq", "bq", "attention.q_proj"), ("wk", "bk", "attention.k_proj"),
+             ("wv", "bv", "attention.v_proj"), ("wo", "bo", "attention.out_proj"),
+             ("ffn_w1", "ffn_b1", "feed_forward.intermediate_dense"),
+             ("ffn_w2", "ffn_b2", "feed_forward.output_dense")]
+    for i in range(cfg.num_layers):
+        for wk_, bk_, nm in names:
+            sd[f"estimator.layers.{i}.{nm}.weight"] = t(np.asarray(lp[wk_][i]).T)
+            sd[f"estimator.layers.{i}.{nm}.bias"] = t(lp[bk_][i])
+        sd[f"estimator.layers.{i}.layer_norm.weight"] = t(lp["ln1_w"][i])
+        sd[f"estimator.layers.{i}.layer_norm.bias"] = t(lp["ln1_b"][i])
+        sd[f"estimator.layers.{i}.final_layer_norm.weight"] = t(lp["ln2_w"][i])
+        sd[f"estimator.layers.{i}.final_layer_norm.bias"] = t(lp["ln2_b"][i])
+    for i in range(cfg.num_layers // 2):
+        sd[f"estimator.skip_connections_layers.{i}.weight"] = t(np.asarray(p["skip_w"][i]).T)
+        sd[f"estimator.skip_connections_layers.{i}.bias"] = t(p["skip_b"][i])
+    torch.save(sd, os.path.join(path, "pytorch_model.bin"))
+
+
+def save_bigvgan_generator(path: str, params, cfg) -> None:
+    """Export BigVGAN generator params as config.json + bigvgan_generator.pt
+    ({"generator": state_dict}) — the reference checkpoint layout our
+    `load_bigvgan` reads.  Weights are written folded (plain `.weight`)."""
+    import torch
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({
+            "num_mels": cfg.num_mels,
+            "upsample_initial_channel": cfg.upsample_initial_channel,
+            "upsample_rates": list(cfg.upsample_rates),
+            "upsample_kernel_sizes": list(cfg.upsample_kernel_sizes),
+            "resblock_kernel_sizes": list(cfg.resblock_kernel_sizes),
+            "resblock_dilation_sizes": [list(d) for d in cfg.resblock_dilation_sizes],
+            "resblock": cfg.resblock, "activation": cfg.activation,
+            "snake_logscale": cfg.snake_logscale,
+            "sampling_rate": cfg.sampling_rate,
+        }, f, indent=2)
+
+    def t(x):
+        return torch.from_numpy(np.ascontiguousarray(np.asarray(x, np.float32)))
+
+    def conv_t(w):  # ours [K, in, out] -> torch Conv1d [out, in, K]
+        return t(np.asarray(w).transpose(2, 1, 0))
+
+    def convT_t(w):  # ours [K, out, in] flipped -> torch ConvTranspose1d [in, out, K]
+        return t(np.asarray(w).transpose(2, 1, 0)[:, :, ::-1])
+
+    p = params
+    sd = {"conv_pre.weight": conv_t(p["conv_pre_w"]), "conv_pre.bias": t(p["conv_pre_b"]),
+          "conv_post.weight": conv_t(p["conv_post_w"]), "conv_post.bias": t(p["conv_post_b"]),
+          "activation_post.act.alpha": t(p["act_post"]["alpha"])}
+    if cfg.activation == "snakebeta":
+        sd["activation_post.act.beta"] = t(p["act_post"]["beta"])
+    nk = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        sd[f"ups.{i}.0.weight"] = convT_t(p["ups"][i]["w"])
+        sd[f"ups.{i}.0.bias"] = t(p["ups"][i]["b"])
+        for j in range(nk):
+            r = i * nk + j
+            block = p["resblocks"][r]
+            for ci, c in enumerate(block["convs1"]):
+                sd[f"resblocks.{r}.convs1.{ci}.weight"] = conv_t(c["w"])
+                sd[f"resblocks.{r}.convs1.{ci}.bias"] = t(c["b"])
+            for ci, c in enumerate(block["convs2"]):
+                sd[f"resblocks.{r}.convs2.{ci}.weight"] = conv_t(c["w"])
+                sd[f"resblocks.{r}.convs2.{ci}.bias"] = t(c["b"])
+            for ai, act in enumerate(block["acts"]):
+                sd[f"resblocks.{r}.activations.{ai}.act.alpha"] = t(act["alpha"])
+                if cfg.activation == "snakebeta":
+                    sd[f"resblocks.{r}.activations.{ai}.act.beta"] = t(act["beta"])
+    torch.save({"generator": sd}, os.path.join(path, "bigvgan_generator.pt"))
+
+
 def load_bigvgan(path: str, cfg=None):
     """Local BigVGAN dir (config.json + bigvgan_generator.pt) -> (params, cfg)."""
     from usdm_tpu.core.config import BigVGANConfig
