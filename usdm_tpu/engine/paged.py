@@ -167,12 +167,12 @@ class PagedEngine:
         self._hold_order: List[int] = []  # LRU for eviction under pressure
         self.steps = 0
         # device-side decode horizon: sync with the host every N tokens when
-        # no admissions are pending.  multi_impl="chain" (step_chain) keeps
-        # XLA's fast back-to-back dispatch schedule and costs one sync per
-        # horizon; the fused fori_loop ("fused", paged_decode_multi) lowers
-        # the same math but XLA schedules it slower (measured b=1 7B-int8 on
-        # a tunneled v5e: single-step 21 tok/s, chain8 56, chain16 66,
-        # fused8 49).
+        # no admissions are pending.  multi_impl="chain" (step_chain) runs
+        # back-to-back single-step dispatches with one sync per horizon; the
+        # fused fori_loop ("fused", paged_decode_multi) lowers the same math
+        # in one dispatch.  Measured b=1 7B-int8 on a tunneled v5e (post
+        # pool-layout fix): per-token sync ~57 tok/s, chain16 79, chain32 86,
+        # fused32 75 — chain wins slightly and is the default.
         self.decode_horizon = ecfg.decode_horizon
         self.multi_impl = "chain"
         self._chain_streak = 0  # consecutive chains with a stable decode set
