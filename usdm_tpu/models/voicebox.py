@@ -370,9 +370,8 @@ def _cfg_estimate(params, cfg, x, z, cond, lengths, t, gradient_scale):
     return d_cond + gradient_scale * (d_cond - d_un)
 
 
-def _renoise_prompt(z, cond, t, prompt_len, sigma_min, key):
+def _renoise_prompt(z, cond, t, prompt_len, sigma_min, noise):
     """Re-noise the prompt region to flow-time t (voicebox.py:89-92)."""
-    noise = jax.random.normal(key, cond.shape, cond.dtype)
     prompt = (1.0 - (1.0 - sigma_min) * t) * noise + t * cond
     frame = jnp.arange(z.shape[-1])[None, None, :]
     return jnp.where(frame < prompt_len, prompt, z)
@@ -394,17 +393,26 @@ def generate(
     gradient_scale: float = 1.0,
     speech_prompt: bool = False,
     prompt_len: int | jnp.ndarray = 0,
+    z: Optional[jnp.ndarray] = None,
+    prompt_noises: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sample mel by solving the probability-flow ODE from z ~ N(0, I).
 
     Matches reference CFM.generate (voicebox.py:140-150): heun halves the
     step count ((n+1)//2); without a speech prompt `cond` is zeroed.
+
+    `z` (initial noise, cond-shaped) and `prompt_noises` ([n_steps, 2] +
+    cond.shape renoise draws — [i, 0] after the predictor, [i, 1] after the
+    corrector) override the PRNG draws; the golden-parity tests inject the
+    reference torch implementation's exact noise sequence through them.
     """
     kz, kloop = jax.random.split(key)
     # ODE state stays f32 regardless of the parameter dtype; the estimator
     # casts its inputs to the compute dtype internally.
     cond = cond.astype(jnp.float32)
-    z = jax.random.normal(kz, cond.shape, jnp.float32)
+    if z is None:
+        z = jax.random.normal(kz, cond.shape, jnp.float32)
+    z = z.astype(jnp.float32)
     if solver == "heun":
         n_steps = (n_timesteps + 1) // 2
     else:
@@ -418,6 +426,11 @@ def generate(
 
     sm = cfg.sigma_min
 
+    def _prompt_noise(key, i, j):
+        if prompt_noises is not None:
+            return prompt_noises[i, j].astype(jnp.float32)
+        return jax.random.normal(key, cond.shape, jnp.float32)
+
     def euler_step(i, carry):
         z, key = carry
         key, k1 = jax.random.split(key)
@@ -427,7 +440,7 @@ def generate(
         dphi = _cfg_estimate(params, cfg, x_units, z, cond, lengths, tb, gradient_scale)
         z = z + dt * dphi.astype(jnp.float32)
         if speech_prompt:
-            z = _renoise_prompt(z, cond, t1, prompt_len, sm, k1)
+            z = _renoise_prompt(z, cond, t1, prompt_len, sm, _prompt_noise(k1, i, 0))
         return z, key
 
     def heun_step(i, carry):
@@ -439,14 +452,14 @@ def generate(
         dphi = _cfg_estimate(params, cfg, x_units, z, cond, lengths, tb0, gradient_scale).astype(jnp.float32)
         z_hat = z + dt * dphi
         if speech_prompt:
-            z_hat = _renoise_prompt(z_hat, cond, t1, prompt_len, sm, k1)
+            z_hat = _renoise_prompt(z_hat, cond, t1, prompt_len, sm, _prompt_noise(k1, i, 0))
 
         def correct(z_hat):
             tb1 = jnp.full((z.shape[0],), t1, z.dtype)
             dphi_hat = _cfg_estimate(params, cfg, x_units, z_hat, cond, lengths, tb1, gradient_scale).astype(jnp.float32)
             out = z + dt * (dphi + dphi_hat) / 2.0
             if speech_prompt:
-                out = _renoise_prompt(out, cond, t1, prompt_len, sm, k2)
+                out = _renoise_prompt(out, cond, t1, prompt_len, sm, _prompt_noise(k2, i, 1))
             return out
 
         # reference skips the corrector on the final step (voicebox.py:120-129)
