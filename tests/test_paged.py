@@ -383,11 +383,12 @@ def test_session_prefix_reuse_matches_fresh(setup, rng):
         fresh_outs, fresh_ticks = chain(eng, session=None)
         assert not eng.session_slots
         eng2 = PagedEngine(params, CFG, ecfg)
+        total_pages = len(eng2.free_pages)
         sess_outs, sess_ticks = chain(eng2, session=7)
         eng2.release_session(7)
         assert not eng2.session_slots and (eng2.status == 0).all()
         # all pages back in the pool
-        assert len(eng2.free_pages) == len(eng2.free_pages)
+        assert len(eng2.free_pages) == total_pages
 
     assert sess_outs == fresh_outs
     # stages 2/3 prefill fewer chunks than the fresh path (prefix skipped)
@@ -518,6 +519,31 @@ def test_speculative_sampled_requests_fall_back(setup, rng):
                      top_k=0, top_p=1.0, temperature=0.7, seed=5)
         eng2.run([r2])
     assert r.output_ids == r2.output_ids
+
+
+def test_draft_engine_never_chains_without_mirroring(setup, rng):
+    """With a draft attached, non-speculating turns must single-step (which
+    mirrors decode into the draft pool) — step_chain/step_multi would leave
+    draft-KV holes that collapse later rounds' acceptance (ADVICE r2)."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=2,
+                        prefill_chunk=16, decode_horizon=8)
+    allow = np.ones(CFG.vocab_size, bool)
+    prompt = rng.integers(3, CFG.vocab_size, size=12).tolist()
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg.replace(spec_k=3), draft=(params, CFG))
+
+        def boom(*a, **kw):  # pragma: no cover - failure path
+            raise AssertionError("chain path used with a draft attached")
+
+        eng.step_chain = boom
+        eng.step_multi = boom
+        # sampled request disables speculation -> must fall back to step()
+        r = Request(0, list(prompt), allow, eos_id=2, max_new_tokens=6,
+                    top_k=0, top_p=1.0, temperature=0.8, seed=3)
+        eng.run([r])
+        assert r.finished and len(r.output_ids) == 6
+        assert eng.spec_rounds == 0
 
 
 def test_scheduler_fuzz_invariants(setup):

@@ -80,7 +80,12 @@ def ref():
     ns = types.SimpleNamespace(
         vb=ref_vb, meldataset=ref_meldataset, models=ref_models, model_util=ref_model_util
     )
-    return ns
+    yield ns
+    # the shims must not outlive this module: transformers probes
+    # sys.modules for librosa and would trust the stub in later tests
+    for name in ("librosa", "librosa.filters", "librosa.util",
+                 "torchaudio", "torchaudio.transforms"):
+        sys.modules.pop(name, None)
 
 
 # ---------------------------------------------------------------------------
@@ -448,3 +453,62 @@ def test_reconstruct_speech_golden(ref):
     wav = BV.generator(bv_params, bcfg, mel * mc.mel_std + mc.mel_mean)
     got = np.clip(np.squeeze(np.asarray(wav)), -1.0, 1.0)
     np.testing.assert_allclose(got, np.squeeze(want), rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# export round-trips: our save_* -> strict load_state_dict into the reference
+# ---------------------------------------------------------------------------
+
+def test_voicebox_export_strict_loads_into_reference(ref, tmp_path):
+    """save_voicebox_hub's weight-norm-split export must strict-load into a
+    freshly constructed reference Voicebox and reproduce our forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from usdm_tpu.core.checkpoint import save_voicebox_hub
+    from usdm_tpu.models import voicebox as VB
+
+    cfg = _vb_cfg()
+    params = VB.init_params(cfg, jax.random.PRNGKey(61))
+    save_voicebox_hub(str(tmp_path / "vb"), params, cfg)
+
+    model = _make_ref_voicebox(ref, cfg, seed=0)
+    sd = torch.load(str(tmp_path / "vb" / "pytorch_model.bin"), weights_only=True)
+    missing, unexpected = model.load_state_dict(sd, strict=True)
+    assert not missing and not unexpected
+
+    x, y, cond, t, lengths = _inputs(cfg, seed=62)
+    with torch.no_grad(), _cpu_cuda():
+        want = model.estimator(
+            torch.from_numpy(x), torch.from_numpy(y), torch.from_numpy(cond),
+            torch.from_numpy(t).reshape(-1, 1, 1), torch.from_numpy(lengths),
+        ).numpy()
+    got = np.asarray(VB.estimator(
+        params, cfg, jnp.asarray(x), jnp.asarray(y), jnp.asarray(cond),
+        jnp.asarray(t), jnp.asarray(lengths),
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_bigvgan_export_strict_loads_into_reference(ref, tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from usdm_tpu.core.checkpoint import save_bigvgan_generator
+    from usdm_tpu.models import bigvgan as BV
+
+    cfg = _bv_cfg()
+    params = BV.init_generator(cfg, jax.random.PRNGKey(63))
+    save_bigvgan_generator(str(tmp_path / "bv"), params, cfg)
+
+    model = _make_ref_bigvgan(ref, cfg, seed=0)
+    blob = torch.load(str(tmp_path / "bv" / "bigvgan_generator.pt"), weights_only=True)
+    missing, unexpected = model.load_state_dict(blob["generator"], strict=True)
+    assert not missing and not unexpected
+
+    rng = np.random.default_rng(64)
+    mel = rng.standard_normal((1, cfg.num_mels, 29)).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(mel)).numpy()
+    got = np.asarray(BV.generator(params, cfg, jnp.asarray(mel)))
+    np.testing.assert_allclose(np.squeeze(got), np.squeeze(want), rtol=1e-4, atol=1e-5)

@@ -199,12 +199,26 @@ def load_voicebox(path: str, cfg=None):
     return convert_reference_state_dict(state, cfg), cfg
 
 
+def _weight_norm_split(w, dim: int = 0):
+    """Split a folded weight into torch weight_norm (g, v) with v = w:
+    ||v|| then equals g, so g * v/||v|| reconstructs w exactly.  `dim` is the
+    torch weight_norm dim (kept dimension of g)."""
+    import torch
+
+    dims = [d for d in range(w.dim()) if d != dim]
+    g = torch.linalg.vector_norm(w, dim=dims, keepdim=True)
+    return g, w.clone()
+
+
 def save_voicebox_hub(path: str, params, cfg) -> None:
     """Export Voicebox params as a HubMixin-style dir (config.json +
     pytorch_model.bin with estimator.* keys) — the format the reference's
     training saves (decoder/scripts/train.py:305-318) and our `load_voicebox`
-    reads back.  Conv weights are written folded (plain `.weight`, the
-    remove_weight_norm'd form both loaders accept)."""
+    reads back.  The convpos conv is weight_norm-parameterized in the
+    reference (networks.py:78-82, dim=2); its weight is written as
+    parametrizations.weight.original0/original1 so a strict
+    `load_state_dict` into the reference module accepts the export
+    (tests/test_reference_golden.py round-trips it)."""
     import torch
 
     os.makedirs(path, exist_ok=True)
@@ -236,9 +250,11 @@ def save_voicebox_hub(path: str, params, cfg) -> None:
         "estimator.layer_norm.bias": t(p["ln0_b"]),
     }
     for i in range(cfg.convpos_depth):
-        # ours [w, in/g, out] -> torch [out, in/g, w] (folded weight)
-        sd[f"estimator.pos_conv_embeds.{i}.conv.weight"] = t(
-            np.asarray(p["convpos_w"][i]).transpose(2, 1, 0))
+        # ours [w, in/g, out] -> torch [out, in/g, w], split as weight_norm
+        # dim=2 (g over dims 0,1) the way the reference parameterizes it
+        g, v = _weight_norm_split(t(np.asarray(p["convpos_w"][i]).transpose(2, 1, 0)), dim=2)
+        sd[f"estimator.pos_conv_embeds.{i}.conv.parametrizations.weight.original0"] = g
+        sd[f"estimator.pos_conv_embeds.{i}.conv.parametrizations.weight.original1"] = v
         sd[f"estimator.pos_conv_embeds.{i}.conv.bias"] = t(p["convpos_b"][i])
     lp = p["layers"]
     names = [("wq", "bq", "attention.q_proj"), ("wk", "bk", "attention.k_proj"),
@@ -262,7 +278,11 @@ def save_voicebox_hub(path: str, params, cfg) -> None:
 def save_bigvgan_generator(path: str, params, cfg) -> None:
     """Export BigVGAN generator params as config.json + bigvgan_generator.pt
     ({"generator": state_dict}) — the reference checkpoint layout our
-    `load_bigvgan` reads.  Weights are written folded (plain `.weight`)."""
+    `load_bigvgan` reads.  Every conv is weight_norm-parameterized in the
+    reference (vocoder/models.py:150-182, nn.utils.weight_norm dim=0), so
+    weights are written split as weight_g/weight_v — a strict
+    `load_state_dict` into the reference generator accepts the export
+    (tests/test_reference_golden.py round-trips it)."""
     import torch
 
     os.makedirs(path, exist_ok=True)
@@ -282,32 +302,54 @@ def save_bigvgan_generator(path: str, params, cfg) -> None:
     def t(x):
         return torch.from_numpy(np.ascontiguousarray(np.asarray(x, np.float32)))
 
+    sd = {}
+
+    def put_wn(key, w):  # folded torch-layout weight -> weight_g/weight_v
+        g, v = _weight_norm_split(w, dim=0)
+        sd[key + ".weight_g"] = g
+        sd[key + ".weight_v"] = v
+
     def conv_t(w):  # ours [K, in, out] -> torch Conv1d [out, in, K]
         return t(np.asarray(w).transpose(2, 1, 0))
 
     def convT_t(w):  # ours [K, out, in] flipped -> torch ConvTranspose1d [in, out, K]
         return t(np.asarray(w).transpose(2, 1, 0)[:, :, ::-1])
 
+    # Activation1d's anti-aliasing low-pass FIRs are fixed registered buffers
+    # in the reference state dict (alias_free_torch/resample.py: ratio 2,
+    # kernel 12, cutoff 0.25, half_width 0.3 for both up and down paths)
+    from usdm_tpu.models.bigvgan import kaiser_sinc_filter1d
+
+    aa_filter = t(kaiser_sinc_filter1d(0.25, 0.3, 12)[None, None, :])
+
+    def put_act1d(key):
+        sd[key + ".upsample.filter"] = aa_filter.clone()
+        sd[key + ".downsample.lowpass.filter"] = aa_filter.clone()
+
     p = params
-    sd = {"conv_pre.weight": conv_t(p["conv_pre_w"]), "conv_pre.bias": t(p["conv_pre_b"]),
-          "conv_post.weight": conv_t(p["conv_post_w"]), "conv_post.bias": t(p["conv_post_b"]),
-          "activation_post.act.alpha": t(p["act_post"]["alpha"])}
+    put_wn("conv_pre", conv_t(p["conv_pre_w"]))
+    put_wn("conv_post", conv_t(p["conv_post_w"]))
+    put_act1d("activation_post")
+    sd.update({"conv_pre.bias": t(p["conv_pre_b"]),
+               "conv_post.bias": t(p["conv_post_b"]),
+               "activation_post.act.alpha": t(p["act_post"]["alpha"])})
     if cfg.activation == "snakebeta":
         sd["activation_post.act.beta"] = t(p["act_post"]["beta"])
     nk = len(cfg.resblock_kernel_sizes)
     for i in range(len(cfg.upsample_rates)):
-        sd[f"ups.{i}.0.weight"] = convT_t(p["ups"][i]["w"])
+        put_wn(f"ups.{i}.0", convT_t(p["ups"][i]["w"]))
         sd[f"ups.{i}.0.bias"] = t(p["ups"][i]["b"])
         for j in range(nk):
             r = i * nk + j
             block = p["resblocks"][r]
             for ci, c in enumerate(block["convs1"]):
-                sd[f"resblocks.{r}.convs1.{ci}.weight"] = conv_t(c["w"])
+                put_wn(f"resblocks.{r}.convs1.{ci}", conv_t(c["w"]))
                 sd[f"resblocks.{r}.convs1.{ci}.bias"] = t(c["b"])
             for ci, c in enumerate(block["convs2"]):
-                sd[f"resblocks.{r}.convs2.{ci}.weight"] = conv_t(c["w"])
+                put_wn(f"resblocks.{r}.convs2.{ci}", conv_t(c["w"]))
                 sd[f"resblocks.{r}.convs2.{ci}.bias"] = t(c["b"])
             for ai, act in enumerate(block["acts"]):
+                put_act1d(f"resblocks.{r}.activations.{ai}")
                 sd[f"resblocks.{r}.activations.{ai}.act.alpha"] = t(act["alpha"])
                 if cfg.activation == "snakebeta":
                     sd[f"resblocks.{r}.activations.{ai}.act.beta"] = t(act["beta"])

@@ -799,6 +799,12 @@ class PagedEngine:
             return self.step()  # keep admitting/prefilling while a queue exists
         if self._can_spec():
             return self.step_spec()
+        if self.draft_params is not None:
+            # a draft is loaded but this step can't speculate (sampled slot /
+            # budget tail): single-step so the draft pool mirrors the decode —
+            # step_chain/step_multi skip the mirror and would leave draft-KV
+            # holes that collapse later rounds' acceptance
+            return self.step()
         if self.decode_horizon == 1:
             return self.step()
         if self.multi_impl == "chain":

@@ -75,9 +75,9 @@ def early_exit_draft(params: Params, n_layers: int):
     draft, so this only affects speed, never output; acceptance depends on
     how early the truncated network's argmax matches the full one).
 
-    Returns a `(draft_params, cut_fn)` pair where draft_params shares embed/
-    lm_head/final_norm with the target and holds sliced copies of the first
-    `n_layers` stacked layer weights (n/L of the layer bytes in HBM).
+    Returns a draft params tree sharing embed/lm_head/final_norm with the
+    target, with sliced copies of the first `n_layers` stacked layer weights
+    (n/L of the layer bytes in HBM).
     """
     layers = {}
     for name, leaf in params["layers"].items():
