@@ -65,13 +65,21 @@ def main():
     ones_i = jnp.ones(b, jnp.int32)
     ones_f = jnp.ones(b, jnp.float32)
 
-    def full(kv):
-        nxt, k, kv = paged_decode_step(params, kv, cfg, tok, lens, table, act,
-                                       allow, ecfg.page_size, keys, ones_i,
-                                       ones_f, ones_f)
-        return nxt
+    # paged_decode_step donates kv: thread it through the timing loop
+    def run_full(kv, n):
+        nxt = tok
+        for _ in range(n):
+            nxt, _, kv = paged_decode_step(params, kv, cfg, nxt, lens, table, act,
+                                           allow, ecfg.page_size, keys, ones_i,
+                                           ones_f, ones_f)
+        jax.device_get(nxt)
+        return kv
 
-    report["full_ms"] = round(timeit(full, kv), 3)
+    kv = run_full(kv, 2)  # warm-up/compile
+    n = 32
+    t0 = time.time()
+    kv = run_full(kv, n)
+    report["full_ms"] = round((time.time() - t0) / n * 1000.0, 3)
 
     # ---- layer-stack variants (no KV write, no attention) ----
     hd, h, hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads

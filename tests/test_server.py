@@ -185,3 +185,61 @@ def test_ttft_reported(params, rng):
 def _mk_req(rng, rid):
     return Request(rid, rng.integers(3, CFG.vocab_size, size=10).tolist(),
                    np.ones(CFG.vocab_size, bool), eos_id=1, max_new_tokens=4)
+
+
+def test_submit_never_blocks_behind_tick(params, rng):
+    """The loop must tick the engine OUTSIDE the condition lock: a caller's
+    generate() submission during a long decode chain (~0.4 s at horizon 32 on
+    the chip) enqueues immediately instead of waiting for the chain to end
+    (VERDICT r2 weak-3).  A 0.25 s artificial tick stands in for the chain."""
+    import time
+
+    eng = PagedEngine(params, CFG, ECFG.replace(decode_horizon=16))
+    server = EngineServer(eng)
+    orig_tick = eng.tick
+    in_tick = threading.Event()
+
+    def slow_tick():
+        in_tick.set()
+        time.sleep(0.25)
+        return orig_tick()
+
+    eng.tick = slow_tick
+    allow = np.ones(CFG.vocab_size, bool)
+    prompt = rng.integers(3, CFG.vocab_size, size=12).tolist()
+    t1 = threading.Thread(
+        target=lambda: server.generate(list(prompt), allow, 1, 12, timeout=60))
+    t1.start()
+    assert in_tick.wait(10)
+    time.sleep(0.05)  # loop thread is now sleeping inside the slow tick
+    t0 = time.time()
+    with server._cv:  # generate()'s enqueue takes exactly this lock
+        lock_wait = time.time() - t0
+    assert lock_wait < 0.1, f"submission path blocked {lock_wait:.3f}s behind tick"
+    # and a request submitted mid-tick still completes correctly
+    out = server.generate(list(prompt), allow, 1, 12, timeout=60)
+    t1.join(timeout=60)
+    solo = PagedEngine(params, CFG, ECFG)
+    sr = Request(0, list(prompt), allow, eos_id=1, max_new_tokens=12)
+    solo.run([sr])
+    assert out == sr.output_ids
+    server.close()
+
+
+def test_release_session_routed_to_loop_thread(params, rng):
+    """release_session from a caller thread must not mutate engine state
+    concurrently with a tick — it queues and the loop thread applies it."""
+    eng = PagedEngine(params, CFG, ECFG)
+    server = EngineServer(eng)
+    allow = np.ones(CFG.vocab_size, bool)
+    sess = server.new_session()
+    server.generate(rng.integers(3, CFG.vocab_size, size=8).tolist(),
+                    allow, 1, 4, session=sess, timeout=60)
+    total = eng.n_pages - 1
+    server.release_session(sess)
+    deadline = __import__("time").time() + 10
+    while len(eng.free_pages) != total and __import__("time").time() < deadline:
+        __import__("time").sleep(0.01)
+    assert len(eng.free_pages) == total
+    assert not eng.session_slots
+    server.close()

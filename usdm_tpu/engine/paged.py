@@ -208,7 +208,8 @@ class PagedEngine:
     def submit(self, req: Request) -> None:
         import time as _t
 
-        req.t_submit = _t.time()
+        if not req.t_submit:  # EngineServer stamps at caller submit time
+            req.t_submit = _t.time()
         self.waiting.append(req)
 
     def _pages_needed(self, n_tokens: int) -> int:

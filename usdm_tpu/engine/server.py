@@ -35,6 +35,12 @@ class EngineServer:
         self._cv = threading.Condition()
         self._events: Dict[int, threading.Event] = {}
         self._reqs: Dict[int, Request] = {}
+        # submissions/releases land here under the lock; ONLY the loop thread
+        # touches the engine, and it ticks OUTSIDE the lock — a caller's
+        # generate() is never blocked behind a long decode chain (~0.4 s at
+        # horizon 32), it just enqueues and returns to waiting on its event
+        self._inbox: List[Request] = []
+        self._releases: List[int] = []
         self._ids = itertools.count()
         self._session_ids = itertools.count(1)
         self._running = True
@@ -67,12 +73,15 @@ class EngineServer:
             session=session,
         )
         ev = threading.Event()
+        import time as _t
+
+        req.t_submit = _t.time()  # TTFT clock starts at caller submit time
         with self._cv:
             if not self._running:
                 raise RuntimeError("EngineServer is closed")
             self._events[rid] = ev
             self._reqs[rid] = req
-            self.engine.submit(req)
+            self._inbox.append(req)
             self._cv.notify_all()
         if not ev.wait(timeout):
             raise TimeoutError(f"request {rid} timed out after {timeout}s")
@@ -89,8 +98,12 @@ class EngineServer:
             return next(self._session_ids)
 
     def release_session(self, session: int) -> None:
+        """Queue the release for the loop thread (the engine is single-
+        threaded; mutating its page pool from a caller thread would race a
+        running tick)."""
         with self._cv:
-            self.engine.release_session(session)
+            self._releases.append(session)
+            self._cv.notify_all()
 
     def close(self) -> None:
         with self._cv:
@@ -110,10 +123,20 @@ class EngineServer:
             with self._cv:
                 if not self._running:
                     return
-                if not self.engine.busy:
+                inbox, self._inbox = self._inbox, []
+                releases, self._releases = self._releases, []
+                if not (inbox or releases or self.engine.busy):
                     self._cv.wait(timeout=self._idle_wait_s)
                     continue
+            # engine work happens WITHOUT the lock: callers can submit while a
+            # multi-token chain runs; the submission is picked up next turn
+            for s in releases:
+                self.engine.release_session(s)
+            for req in inbox:
+                self.engine.submit(req)
+            if self.engine.busy:
                 self.engine.tick()
+            with self._cv:
                 for rid, req in list(self._reqs.items()):
                     if req.finished and rid in self._events:
                         self._events[rid].set()
