@@ -131,6 +131,8 @@ class PagedEngine:
             self.kv = TP.shard_kv(self.kv, mesh)
             self._tp_decode = TP.make_decode_step(mesh, cfg, ps)
             self._tp_prefill = TP.make_prefill_chunk(mesh, cfg, ps)
+            self._tp_chained = TP.make_decode_step_chained(mesh, cfg, ps)
+            self._tp_spec = TP.make_spec_accept(mesh, cfg, ps)
         self.params = params
         self.free_pages: List[int] = list(range(n_pages - 1))
         b = ecfg.max_batch_size
@@ -179,11 +181,17 @@ class PagedEngine:
         self.draft_params = self.draft_cfg = self.draft_kv = None
         if draft is not None:
             self.draft_params, self.draft_cfg = draft
-            if mesh is not None:
-                raise ValueError("speculative decoding is single-device only")
             if self.draft_cfg.vocab_size != cfg.vocab_size:
                 raise ValueError("draft vocab must match the target's")
             self.draft_kv = PagedKV.create(self.draft_cfg, n_pages, ps)
+            if mesh is not None:  # draft shards TP like the target
+                from usdm_tpu.engine import tp as TP
+
+                self.draft_params = TP.shard_params(self.draft_params, mesh,
+                                                    self.draft_cfg)
+                self.draft_kv = TP.shard_kv(self.draft_kv, mesh)
+                self._tp_decode_draft = TP.make_decode_step(mesh, self.draft_cfg, ps)
+                self._tp_prefill_draft = TP.make_prefill_chunk(mesh, self.draft_cfg, ps)
         from collections import deque
 
         self._ttfts = deque(maxlen=200)  # recent time-to-first-token samples
@@ -219,15 +227,19 @@ class PagedEngine:
         return [s for s in range(self.ecfg.max_batch_size) if self.status[s] == FREE]
 
     def _reuse_start(self, req: Request) -> int:
-        """Chunk-aligned prefill resume point for a session request against
+        """Page-aligned prefill resume point for a session request against
         its held predecessor, or 0 (full prefill).
 
         The longest common token prefix of the new prompt and the held
         (prompt + output) history, clipped to the kv-written length, then
-        rounded DOWN to a prefill-chunk multiple — chunk starts must stay
-        chunk-aligned for the page-aligned prefill write path, and the ≤1
-        re-prefilled chunk rewrites bit-identical KV (same tokens, same
-        positions, same weights)."""
+        rounded DOWN to a PAGE multiple — the page-aligned prefill write path
+        only needs `start % page_size == 0` (it writes whole pages from
+        `start // page_size`), and the re-prefilled tail below `common`
+        rewrites bit-identical KV (same tokens, positions, weights).  Page
+        granularity beats the old chunk granularity: the 3-stage dialog's
+        stage-B prompt shares ~250 tokens with stage A's history, which a
+        256-token chunk floor rounded to ZERO reuse (full re-prefill) while
+        64-token pages keep 192 of them."""
         slot = self.session_slots.get(req.session)
         if slot is None or self.status[slot] != HOLD:
             return 0
@@ -241,7 +253,11 @@ class PagedEngine:
         common = 0
         while common < limit and req.prompt_ids[common] == hist[common]:
             common += 1
-        return (common // self.ecfg.prefill_chunk) * self.ecfg.prefill_chunk
+        # page-aligned start satisfies both write paths: the whole-page DUS
+        # branch (start % page == 0, chunk a page multiple) and the scatter
+        # fallback (any start)
+        ps = self.ecfg.page_size
+        return (common // ps) * ps
 
     def _admit_into(self, req: Request, slot: int, start: int, extra: List[int]) -> None:
         """Bind `req` to `slot`, prefilling from `start` (pages already owned
@@ -354,12 +370,19 @@ class PagedEngine:
             # a prompt-conditioned draft cache, proposals are garbage and
             # speculative acceptance collapses (outputs would still be
             # correct via verification, just slow)
-            _, self.draft_kv = paged_prefill_chunk(
-                self.draft_params, self.draft_kv, self.draft_cfg,
-                jnp.asarray(ids), jnp.asarray(start, jnp.int32), jnp.asarray(n, jnp.int32),
-                jnp.asarray(self.page_table[slot]),
-                self.ecfg.page_size, ncp,
-            )
+            if self.mesh is not None:
+                _, self.draft_kv = self._tp_prefill_draft(
+                    self.draft_params, self.draft_kv,
+                    jnp.asarray(ids), jnp.asarray(start, jnp.int32),
+                    jnp.asarray(n, jnp.int32), jnp.asarray(self.page_table[slot]), ncp,
+                )
+            else:
+                _, self.draft_kv = paged_prefill_chunk(
+                    self.draft_params, self.draft_kv, self.draft_cfg,
+                    jnp.asarray(ids), jnp.asarray(start, jnp.int32), jnp.asarray(n, jnp.int32),
+                    jnp.asarray(self.page_table[slot]),
+                    self.ecfg.page_size, ncp,
+                )
         self.prefill_pos[slot] = start + n
         if start + n < len(req.prompt_ids):
             return  # more chunks to go; logits discarded
@@ -541,14 +564,23 @@ class PagedEngine:
             ones_i = jnp.ones(self.ecfg.max_batch_size, jnp.int32)
             ones_f = jnp.ones(self.ecfg.max_batch_size, jnp.float32)
             table, _, _, _, _ = self._slot_state_dev()
-            _, _, self.draft_kv = paged_decode_step(
-                self.draft_params, self.draft_kv, self.draft_cfg,
-                jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
-                table, jnp.asarray(dec),
-                self._allow_dev, self.ecfg.page_size,
-                jnp.zeros((self.ecfg.max_batch_size, 2), jnp.uint32),
-                ones_i, ones_f, ones_f, do_sample=False,
-            )
+            zero_keys = jnp.zeros((self.ecfg.max_batch_size, 2), jnp.uint32)
+            if self.mesh is not None:
+                _, _, self.draft_kv = self._tp_decode_draft(
+                    self.draft_params, self.draft_kv,
+                    jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
+                    table, jnp.asarray(dec), self._allow_dev, zero_keys,
+                    ones_i, ones_f, ones_f, do_sample=False,
+                )
+            else:
+                _, _, self.draft_kv = paged_decode_step(
+                    self.draft_params, self.draft_kv, self.draft_cfg,
+                    jnp.asarray(self.tokens), jnp.asarray(self.seq_lens),
+                    table, jnp.asarray(dec),
+                    self._allow_dev, self.ecfg.page_size,
+                    zero_keys,
+                    ones_i, ones_f, ones_f, do_sample=False,
+                )
         nxt = np.asarray(nxt)
         self.steps += 1
         for slot in range(self.ecfg.max_batch_size):
@@ -623,17 +655,20 @@ class PagedEngine:
         the decoding set is unchanged: steady-state pays one sync per
         n_steps tokens, but a request that hits EOS early wastes at most the
         current (short) chain's tail, not a full horizon."""
-        if self.mesh is not None:
-            return self.step()
         self._try_admit()
         self._prefill_tick()
-        n_steps = min(n_steps, 4 << min(self._chain_streak, 8))
+        # ramp 8 -> 16 -> 32 ... : each chain link costs ~11.5 ms at 7B-int8
+        # but each SYNC costs ~13 ms over a tunneled chip, so short chains are
+        # sync-bound; starting at 8 keeps the worst-case EOS overshoot at
+        # ~0.09 s while halving the ramp's sync count vs starting at 4
+        n_steps = min(n_steps, 8 << min(self._chain_streak, 8))
         self._chain_streak += 1
         dec = self.status == DECODE
         if not dec.any():
             return int((self.status != FREE).sum())
         n_steps = self._safe_horizon(n_steps, dec)
         do_sample = self._do_sample()
+        needs_filter = self._needs_filter()
         tok = jnp.asarray(self.tokens)
         lens = jnp.asarray(self.seq_lens)
         table, eos, tk, tp_, tmp = self._slot_state_dev()
@@ -641,12 +676,20 @@ class PagedEngine:
         done = ~active
         outs = []
         for _ in range(n_steps):
-            tok, done, lens, self._keys_dev, self.kv = paged_decode_step_chained(
-                self.params, self.kv, self.cfg, tok, lens, table,
-                active, done, eos, self._allow_dev,
-                self.ecfg.page_size, self._keys_dev, tk, tp_, tmp,
-                do_sample=do_sample, needs_filter=self._needs_filter(),
-            )
+            if self.mesh is not None:
+                tok, done, lens, self._keys_dev, self.kv = self._tp_chained(
+                    self.params, self.kv, tok, lens, table,
+                    active, done, eos, self._allow_dev,
+                    self._keys_dev, tk, tp_, tmp,
+                    do_sample=do_sample, needs_filter=needs_filter,
+                )
+            else:
+                tok, done, lens, self._keys_dev, self.kv = paged_decode_step_chained(
+                    self.params, self.kv, self.cfg, tok, lens, table,
+                    active, done, eos, self._allow_dev,
+                    self.ecfg.page_size, self._keys_dev, tk, tp_, tmp,
+                    do_sample=do_sample, needs_filter=needs_filter,
+                )
             outs.append(tok)
         toks = np.asarray(jnp.stack(outs, axis=1))  # ONE host sync
         self.steps += n_steps
@@ -756,19 +799,33 @@ class PagedEngine:
             cols = [cur]
             d = cur
             for i in range(k + 1):
-                d, keys, self.draft_kv = paged_decode_step(
-                    self.draft_params, self.draft_kv, self.draft_cfg,
-                    d, lens + i, table, jnp.logical_and(active, ~done),
-                    self._allow_dev, self.ecfg.page_size, keys,
-                    ones_i, ones_f, ones_f, do_sample=False,
-                )
+                if self.mesh is not None:
+                    d, keys, self.draft_kv = self._tp_decode_draft(
+                        self.draft_params, self.draft_kv,
+                        d, lens + i, table, jnp.logical_and(active, ~done),
+                        self._allow_dev, keys, ones_i, ones_f, ones_f,
+                        do_sample=False,
+                    )
+                else:
+                    d, keys, self.draft_kv = paged_decode_step(
+                        self.draft_params, self.draft_kv, self.draft_cfg,
+                        d, lens + i, table, jnp.logical_and(active, ~done),
+                        self._allow_dev, self.ecfg.page_size, keys,
+                        ones_i, ones_f, ones_f, do_sample=False,
+                    )
                 if i < k:
                     cols.append(d)
             ver_in = jnp.stack(cols, axis=1)  # [B, K+1]
-            otok, n_emit, cur, done, lens, self.kv = paged_spec_accept(
-                self.params, self.kv, self.cfg, ver_in, lens, done, eos,
-                table, active, self._allow_dev, self.ecfg.page_size, ncp,
-            )
+            if self.mesh is not None:
+                otok, n_emit, cur, done, lens, self.kv = self._tp_spec(
+                    self.params, self.kv, ver_in, lens, done, eos,
+                    table, active, self._allow_dev, ncp,
+                )
+            else:
+                otok, n_emit, cur, done, lens, self.kv = paged_spec_accept(
+                    self.params, self.kv, self.cfg, ver_in, lens, done, eos,
+                    table, active, self._allow_dev, self.ecfg.page_size, ncp,
+                )
             outs.append(otok)
             emits.append(n_emit)
         packed = np.asarray(jnp.concatenate(
@@ -794,9 +851,10 @@ class PagedEngine:
 
     def tick(self) -> int:
         """One scheduler turn: per-token stepping while admissions/prefills
-        are pending (or under TP), speculative rounds when a draft is loaded
-        and applicable, multi-token decode otherwise."""
-        if (self.waiting or self.prefill_order or self.mesh is not None):
+        are pending, speculative rounds when a draft is loaded and
+        applicable, multi-token (chained) decode otherwise — single-device
+        and TP take the same paths (TP chains shard_map'd links)."""
+        if self.waiting or self.prefill_order:
             return self.step()  # keep admitting/prefilling while a queue exists
         if self._can_spec():
             return self.step_spec()

@@ -184,7 +184,7 @@ def paged_decode_step(
 
 
 @partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample",
-                                   "needs_filter"),
+                                   "needs_filter", "tp_axis"),
          donate_argnums=(1,))
 def paged_decode_step_chained(
     params: M.Params,
@@ -204,6 +204,7 @@ def paged_decode_step_chained(
     temperature: jnp.ndarray,
     do_sample: bool = False,
     needs_filter: bool = True,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
     """One chained decode step with the EOS-freeze bookkeeping folded in:
     -> (token [B], done' [B], seq_lens' [B], keys', kv').
@@ -211,12 +212,14 @@ def paged_decode_step_chained(
     `step_chain` dispatches this N times back-to-back with ONE host sync at
     the end; folding the freeze/length updates into the jit makes each link
     a single dispatch instead of one decode call plus four elementwise ops
-    (the extra dispatches cost ~1 ms/token over the tunnel)."""
+    (the extra dispatches cost ~1 ms/token over the tunnel).  With `tp_axis`
+    the body runs inside a shard_map over that mesh axis (engine.tp) — the
+    TP serving path chains links exactly like the single-device one."""
     nxt, keys, kv = paged_decode_step.__wrapped__(
         params, kv, cfg, tokens, seq_lens, page_table,
         jnp.logical_and(active, ~done), allow_masks, page_size,
         keys, top_k, top_p, temperature,
-        do_sample=do_sample, needs_filter=needs_filter,
+        do_sample=do_sample, needs_filter=needs_filter, tp_axis=tp_axis,
     )
     nxt = jnp.where(done, 0, nxt)
     new_done = jnp.logical_or(done, nxt == eos_ids)
@@ -224,7 +227,7 @@ def paged_decode_step_chained(
     return nxt, new_done, new_lens, keys, kv
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages"),
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
          donate_argnums=(1,))
 def paged_verify_step(
     params: M.Params,
@@ -237,6 +240,7 @@ def paged_verify_step(
     allow_masks: jnp.ndarray,  # [B, V]
     page_size: int,
     n_ctx_pages: int,  # static bucket: pages gathered as attention context
+    tp_axis: Optional[str] = None,  # see paged_decode_step
 ) -> Tuple[jnp.ndarray, PagedKV]:
     """Speculative-decoding verification: one target forward over K+1 tokens
     per slot -> greedy argmax at every position ([B, K+1]) and the target KV
@@ -253,7 +257,7 @@ def paged_verify_step(
     """
     b, k1 = tokens.shape
     hd = cfg.head_dim
-    h = _proj_dim(params["layers"]["wq"]) // hd
+    h = _proj_dim(params["layers"]["wq"]) // hd  # local (sharded) head counts
     hkv = _proj_dim(params["layers"]["wk"]) // hd
     cdt = jnp.dtype(cfg.dtype)
     p = page_size
@@ -311,10 +315,11 @@ def paged_verify_step(
             q_positions=positions, kv_positions=jnp.broadcast_to(kv_pos, (b, s_ctx)),
             causal=True, sliding_window=cfg.sliding_window, impl="xla",
         )
-        x = x + qmm(attn.reshape(b, k1, h * hd), lp["wo"])
+        x = x + _psum(qmm(attn.reshape(b, k1, h * hd), lp["wo"]), tp_axis)
         y2 = M.rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-        x = x + qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]),
-                    lp["w_down"])
+        x = x + _psum(
+            qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]),
+                lp["w_down"]), tp_axis)
         return (x, k_pool, v_pool), None
 
     (x, new_k, new_v), _ = jax.lax.scan(
@@ -323,12 +328,14 @@ def paged_verify_step(
     )
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     logits = (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    if tp_axis is not None:  # lm_head is vocab-sharded: assemble full logits
+        logits = jax.lax.all_gather(logits, tp_axis, axis=2, tiled=True)
     logits = jnp.where(allow_masks[:, None, :], logits, NEG_INF)
     out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K1]
     return out, PagedKV(new_k, new_v)
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages"),
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
          donate_argnums=(1,))
 def paged_spec_accept(
     params: M.Params,
@@ -343,6 +350,7 @@ def paged_spec_accept(
     allow_masks: jnp.ndarray,
     page_size: int,
     n_ctx_pages: int,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
     """Verification + ON-DEVICE acceptance for a chained speculative round:
     -> (tokens [B, K+1], n_emit [B], next_cur [B], done' [B], seq_lens' [B],
@@ -350,12 +358,15 @@ def paged_spec_accept(
 
     Folding the accept/EOS/length logic into the jit lets the scheduler run
     R rounds back-to-back with ONE host sync (host round-trips otherwise
-    dominate the round: 2 syncs cost more than the draft+verify compute)."""
+    dominate the round: 2 syncs cost more than the draft+verify compute).
+    With `tp_axis` the verify forward runs tensor-parallel inside a shard_map
+    (engine.tp); the acceptance math below is elementwise on replicated
+    logits-argmax outputs, so it is identical on every device."""
     b, k1 = ver_in.shape
     live = jnp.logical_and(active, ~done)
     out, kv = paged_verify_step.__wrapped__(
         params, kv, cfg, ver_in, seq_lens, page_table, live, allow_masks,
-        page_size, n_ctx_pages,
+        page_size, n_ctx_pages, tp_axis=tp_axis,
     )
     # accepted prefix: drafts d_j (= ver_in[:, j+1]) matching target out[:, j]
     matches = ver_in[:, 1:] == out[:, :-1]  # [B, K]

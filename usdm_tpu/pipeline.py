@@ -153,10 +153,14 @@ class UsdmPipeline:
             from usdm_tpu.core.config import EngineConfig
 
             # single caller: one slot (each extra slot pads every decode
-            # dispatch), long horizon; the 3-stage session HOLDs and reuses
-            # this slot's pages across stages
+            # dispatch), long horizon (64 halves the per-chain sync count vs
+            # 32; tail overshoot is clamped by the stage budget); 64-token
+            # pages so the stage-B/C prefix reuse keeps most of the previous
+            # stage's KV (256-token pages rounded stage B's ~250-token common
+            # prefix down to zero)
             self._server = self.make_server(
-                EngineConfig(max_batch_size=1, decode_horizon=32),
+                EngineConfig(max_batch_size=1, decode_horizon=64,
+                             page_size=64, max_pages_per_seq=128),
                 draft=self._draft)
         return self._server
 
