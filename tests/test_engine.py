@@ -157,3 +157,28 @@ def test_prefix_reuse_near_cache_capacity(tiny_lm):
         r_tight = p_tight.respond_to_units(units)
     assert r_full.stage_tokens == r_tight.stage_tokens
     assert r_full.agent_units == r_tight.agent_units
+
+
+def test_ring_bounded_cache_matches_full(tiny_lm):
+    """The window-bounded ring cache (default sizing) must decode exactly like
+    an oversized identity cache: out-of-window keys are masked either way, so
+    evicting them (reference dense-KV slicing, src/model.py:337-373) cannot
+    change any output."""
+    tok, cfg, params = tiny_lm
+    cfg = cfg.replace(sliding_window=6)  # ring S = max(t, 7) << t + max_new
+    ts = tok.ts
+    ids = tok.encode("hello world test")
+    allow = jnp.asarray(stage_allow_mask(STAGE_TEXT2UNIT, ts))
+    args = (
+        params, cfg,
+        jnp.asarray(np.asarray(ids, np.int32)[None]),
+        jnp.asarray([len(ids)], jnp.int32),
+        allow,
+        jnp.asarray(-1, jnp.int32),  # unreachable EOS: decode all 24 tokens
+    )
+    with jax.default_matmul_precision("highest"):
+        toks_ring, len_ring = generate(*args, max_new_tokens=24)
+        toks_full, len_full = generate(*args, max_new_tokens=24,
+                                       cache_len=len(ids) + 24)
+    assert int(len_ring[0]) == int(len_full[0])
+    assert np.array_equal(np.asarray(toks_ring), np.asarray(toks_full))

@@ -43,7 +43,8 @@ def _pick(logits, allow_mask, key, top_k, top_p, temperature):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "attn_impl", "top_k", "top_p", "temperature"),
+    static_argnames=("cfg", "max_new_tokens", "cache_len", "attn_impl", "top_k",
+                     "top_p", "temperature"),
 )
 def generate(
     params: M.Params,
@@ -67,7 +68,18 @@ def generate(
     lengths [B] = number of emitted tokens incl. EOS).
     """
     b, t = input_ids.shape
-    total = t + max_new_tokens if cache_len is None else cache_len
+    if cache_len is None:
+        total = t + max_new_tokens
+        if cfg.sliding_window:
+            # bound the cache at the sliding window (reference slices dense KV
+            # at the window, src/model.py:337-373): decode_step's ring write +
+            # position-masked attention keep exactly the last S tokens.  The
+            # prompt still needs identity slots (prefill writes [0, t)), and
+            # S = window+1 keeps every key the `qpos - pos <= window` mask
+            # can reach.
+            total = min(total, max(t, cfg.sliding_window + 1))
+    else:
+        total = cache_len
     cache = M.KVCache.create(cfg, b, total)
     key = jax.random.PRNGKey(0) if key is None else key
 

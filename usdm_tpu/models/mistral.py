@@ -303,10 +303,22 @@ def decode_step(
     token: jnp.ndarray,  # [B] token ids for this step
     cache: KVCache,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One greedy-loop step: token -> logits [B, V], cache advanced by one."""
+    """One greedy-loop step: token -> logits [B, V], cache advanced by one.
+
+    The cache is a RING over its static slot axis: the new token writes at
+    `pos % S`, and attention masks by each slot's absolute position, so a
+    cache sized at the sliding window holds exactly the last S tokens — the
+    reference's window slicing (src/model.py:337-373) with static shapes.
+    While `pos < S` (cache big enough for the whole sequence) the ring is the
+    identity and behavior is unchanged."""
     b = token.shape[0]
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    s = cache.k.shape[2]
     pos = cache.length  # [B] position of this token
+    widx = pos % s  # ring write slot (== pos until the cache wraps)
+    # slot i holds the most recent position p <= pos with p = i (mod S)
+    slot = jnp.arange(s)[None]
+    slot_pos = pos[:, None] - (pos[:, None] - slot) % s  # [B, S]; < 0 = unwritten
     x = params["embed"].astype(jnp.dtype(cfg.dtype))[token][:, None, :]  # [B, 1, D]
     cos, sin = rope_tables(pos[:, None], cfg.head_dim, cfg.rope_theta)
 
@@ -324,12 +336,13 @@ def decode_step(
         def upd(cache_bshd, new_b1hd):
             return jax.vmap(
                 lambda c, n, p: jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (p, 0, 0))
-            )(cache_bshd, new_b1hd, pos)
+            )(cache_bshd, new_b1hd, widx)
 
         k_l = upd(k_l, kk)
         v_l = upd(v_l, vv)
 
-        attn = decode_attention(q, k_l, v_l, pos + 1, sliding_window=cfg.sliding_window)
+        attn = decode_attention(q, k_l, v_l, pos + 1, sliding_window=cfg.sliding_window,
+                                kv_positions=slot_pos)
         x = x + qmm(attn.reshape(b, 1, h * hd), lp["wo"])
         y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
         x = x + qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"])

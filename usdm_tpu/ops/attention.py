@@ -142,12 +142,17 @@ def decode_attention(
     cache_len: jnp.ndarray,  # [B] number of valid cache entries (incl. this step)
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
+    kv_positions: Optional[jnp.ndarray] = None,  # [B, S] absolute position per
+    # cache slot (ring-buffer caches; negative = never written)
 ) -> jnp.ndarray:
     """One-token attention against a (padded) KV cache.
 
     Valid keys are positions [0, cache_len); with a sliding window, further
-    restricted to (pos - window, pos].  Cheap single-step path used by the
-    dense decode loop; the paged engine has its own kernel.
+    restricted to (pos - window, pos].  With `kv_positions`, slot order need
+    not equal position order (ring-bounded cache, models.mistral.decode_step):
+    validity is per-slot absolute position instead of slot index.  Cheap
+    single-step path used by the dense decode loop; the paged engine has its
+    own kernel.
     """
     b, _, h, d = q.shape
     s = k_cache.shape[1]
@@ -155,8 +160,8 @@ def decode_attention(
     hkv = k_cache.shape[2]
     g = h // hkv
 
-    pos = jnp.arange(s)[None, :]  # [1, S]
-    valid = pos < cache_len[:, None]
+    pos = jnp.arange(s)[None, :] if kv_positions is None else kv_positions  # [B?, S]
+    valid = (pos < cache_len[:, None]) & (pos >= 0)
     if sliding_window is not None:
         qpos = cache_len[:, None] - 1
         valid = valid & (qpos - pos <= sliding_window)
