@@ -665,3 +665,65 @@ def test_scheduler_fuzz_invariants(setup):
             solo.run([clone])
             assert r.output_ids == clone.output_ids, (
                 r.req_id, r.output_ids, clone.output_ids)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV pages (EngineConfig.kv_dtype="int8")
+# ---------------------------------------------------------------------------
+
+ECFG_I8 = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                       kv_dtype="int8")
+
+
+def test_int8_engine_batched_matches_solo(setup, rng):
+    """Quantization must be deterministic and batching-invariant: the same
+    request decodes identically solo and continuous-batched (exercises the
+    int8 write paths of prefill, decode, and chained decode)."""
+    params = setup
+    with jax.default_matmul_precision("highest"):
+        reqs = [_req(rng, i, n=8 + i, max_new=6) for i in range(5)]
+        solo_outputs = []
+        for r in reqs:
+            eng = PagedEngine(params, CFG, ECFG_I8)
+            assert eng.kv.quantized and eng.kv.k_pages.dtype == jnp.int8
+            clone = Request(r.req_id, list(r.prompt_ids), r.allow_mask,
+                            r.eos_id, r.max_new_tokens)
+            eng.run([clone])
+            solo_outputs.append(clone.output_ids)
+
+        eng = PagedEngine(params, CFG, ECFG_I8)
+        eng.run(reqs)
+    for r, solo in zip(reqs, solo_outputs):
+        assert r.finished
+        assert r.output_ids == solo, f"req {r.req_id} differs batched vs solo"
+
+
+def test_int8_speculative_equals_greedy(setup, rng):
+    """Speculative decoding over int8 pools: verification rewrites the same
+    quantized KV the sequential path would, so output stays exactly greedy."""
+    params = setup
+    with jax.default_matmul_precision("highest"):
+        base = PagedEngine(params, CFG, ECFG_I8)
+        req0 = _req(rng, 0, n=10, max_new=8)
+        plain = Request(0, list(req0.prompt_ids), req0.allow_mask,
+                        req0.eos_id, req0.max_new_tokens)
+        base.run([plain])
+
+        eng = PagedEngine(params, CFG, ECFG_I8, draft=(params, CFG))
+        eng.run([req0])
+    assert req0.output_ids == plain.output_ids
+    assert eng.spec_rounds > 0
+
+
+def test_int8_engine_close_to_bf16(setup, rng):
+    """int8 pages change logits by ~0.4%: greedy outputs should mostly agree
+    with the bf16 engine (identical until the first sub-noise-margin argmax)."""
+    params = setup
+    with jax.default_matmul_precision("highest"):
+        r8 = _req(rng, 0, n=12, max_new=10)
+        r16 = Request(0, list(r8.prompt_ids), r8.allow_mask, r8.eos_id,
+                      r8.max_new_tokens)
+        PagedEngine(params, CFG, ECFG_I8).run([r8])
+        PagedEngine(params, CFG, ECFG).run([r16])
+    agree = sum(a == b for a, b in zip(r8.output_ids, r16.output_ids))
+    assert agree >= min(len(r8.output_ids), len(r16.output_ids)) * 0.5

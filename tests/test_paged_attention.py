@@ -57,3 +57,65 @@ def test_unused_pages_irrelevant(rng):
     vp2 = vp.at[:, np.nonzero(mask)[0]].set(-99.0)
     out2 = PA.paged_decode_attention(q, kp2, vp2, table, lens)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6, atol=1e-6)
+
+
+def _quant_pool(pool):
+    """int8-quantize a [Hkv, N, P, d] pool -> (int8 pool, page-major scales
+    [N, Hkv, P]) in the PagedKV layout."""
+    from usdm_tpu.engine.paged_ops import quant_kv_token
+
+    q, s = quant_kv_token(pool)  # scales [Hkv, N, P]
+    return q, jnp.transpose(s, (1, 0, 2))
+
+
+def test_int8_kernel_matches_reference(rng):
+    """Quantized kernel path (int8 pages + f32 scale rows, dequant folded
+    into the softmax) vs the gather reference over the same int8 pools."""
+    q, kp, vp, table = _setup(rng)
+    kq, ks = _quant_pool(kp)
+    vq, vs = _quant_pool(vp)
+    lens = jnp.asarray([5, 17, 32], jnp.int32)
+    out = PA.paged_decode_attention(q, kq, vq, table, lens, k_scales=ks, v_scales=vs)
+    ref = PA.paged_decode_attention_reference(
+        q, kq, vq, table, lens, k_scales=ks, v_scales=vs)
+    # kernel's pv matmul runs in bf16 after the v-scale fold -> loose rtol
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+    # windowed variant
+    out = PA.paged_decode_attention(q, kq, vq, table, lens, sliding_window=10,
+                                    k_scales=ks, v_scales=vs)
+    ref = PA.paged_decode_attention_reference(
+        q, kq, vq, table, lens, sliding_window=10, k_scales=ks, v_scales=vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_int8_dequant_close_to_bf16(rng):
+    """int8 per-(head, token) quantization keeps attention outputs within ~2%
+    of the unquantized pools (the quality claim behind kv_dtype=int8)."""
+    q, kp, vp, table = _setup(rng)
+    kq, ks = _quant_pool(kp)
+    vq, vs = _quant_pool(vp)
+    lens = jnp.asarray([30, 25, 32], jnp.int32)
+    full = PA.paged_decode_attention_reference(q, kp, vp, table, lens)
+    quant = PA.paged_decode_attention_reference(
+        q, kq, vq, table, lens, k_scales=ks, v_scales=vs)
+    err = np.abs(np.asarray(quant) - np.asarray(full))
+    denom = np.abs(np.asarray(full)).mean()
+    assert err.mean() / denom < 0.02
+
+
+def test_int8_reference_dequant_is_exact(rng):
+    """The scaled reference must equal the plain reference run on manually
+    dequantized pools bit-for-bit (same gather, same einsum)."""
+    q, kp, vp, table = _setup(rng)
+    kq, ks = _quant_pool(kp)
+    vq, vs = _quant_pool(vp)
+    lens = jnp.asarray([9, 20, 32], jnp.int32)
+    deq_k = (kq.astype(jnp.float32)
+             * jnp.transpose(ks, (1, 0, 2))[..., None]).astype(q.dtype)
+    deq_v = (vq.astype(jnp.float32)
+             * jnp.transpose(vs, (1, 0, 2))[..., None]).astype(q.dtype)
+    a = PA.paged_decode_attention_reference(
+        q, kq, vq, table, lens, k_scales=ks, v_scales=vs)
+    b = PA.paged_decode_attention_reference(q, deq_k, deq_v, table, lens)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -325,3 +325,7 @@ class EngineConfig(_Base):
     # engine.paged.step_chain).  v5e-over-tunnel b=1 7B-int8: 21 tok/s at 1,
     # 56 at 8, 66 at 16; raise for single-caller use, lower for tighter
     # admission latency under concurrent load.
+    kv_dtype: Optional[str] = None  # KV page pool dtype: None = model dtype
+    # (bf16), "int8" = quantized pages with per-(head, token) f32 scales
+    # (vLLM's fp8 KV cache analog) — half the page HBM and attention-read
+    # traffic; outputs may differ from bf16 by ~0.4% logit noise.

@@ -38,19 +38,51 @@ class PagedKV:
     XLA to materialize a fresh full-pool copy every decode step (measured
     2.2 GB of temps per step at 2 slots, >half the step time); (2) the Pallas
     kernel needs no layer axis — callers just offset the page table by li*N.
-    The host-side page table stays layer-relative (ids in [0, N))."""
+    The host-side page table stays layer-relative (ids in [0, N)).
+
+    With dtype=int8 (vLLM's quantized-KV-cache analog) the pools store
+    symmetric per-(head, token) int8 values with f32 scales in k_scales /
+    v_scales [L*N, Hkv, P]: half the page HBM (double the max context per
+    pool) and half the attention-read traffic at large batch.  The scale
+    pools are PAGE-MAJOR (page axis leading) so the kernel's per-page DMA
+    slices an untiled leading axis — a [Hkv, L*N, P] layout would slice one
+    element of the sublane-tiled page axis, which Mosaic rejects.  bf16
+    pools leave the scale fields None."""
 
     k_pages: jnp.ndarray  # [Hkv, L*N, P, hd] (kv-head-major; see paged_attention)
     v_pages: jnp.ndarray  # [Hkv, L*N, P, hd]
+    k_scales: Optional[jnp.ndarray] = None  # [L*N, Hkv, P] f32 (int8 pools)
+    v_scales: Optional[jnp.ndarray] = None
 
     @classmethod
     def create(cls, cfg: MistralConfig, n_pages: int, page_size: int, dtype=None) -> "PagedKV":
         dtype = jnp.dtype(dtype or cfg.dtype)
         shape = (cfg.num_kv_heads, cfg.num_layers * n_pages, page_size, cfg.head_dim)
+        if dtype == jnp.int8:
+            sshape = (shape[1], shape[0], page_size)
+            return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros(sshape, jnp.float32), jnp.zeros(sshape, jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scales is not None
 
-jax.tree_util.register_dataclass(PagedKV, data_fields=["k_pages", "v_pages"], meta_fields=[])
+
+jax.tree_util.register_dataclass(
+    PagedKV, data_fields=["k_pages", "v_pages", "k_scales", "v_scales"],
+    meta_fields=[])
+
+
+def quant_kv_token(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 over the last (head_dim) axis -> (q [..., hd] int8,
+    scale [...] f32).  Per-(head, token) scales keep the quantization error
+    ~0.4% regardless of K/V magnitude drift across positions."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def _psum(x, tp_axis):
@@ -115,7 +147,9 @@ def paged_decode_step(
     offs = pos % page_size
 
     def body(carry, xs):
-        x, k_pool, v_pool = carry
+        x, kvp = carry
+        k_pool, v_pool = kvp.k_pages, kvp.v_pages
+        ks_pool, vs_pool = kvp.k_scales, kvp.v_scales
         lp, li = xs
         base = li * n_pages  # this layer's region of the folded page axis
         y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
@@ -124,6 +158,10 @@ def paged_decode_step(
         vv = qmm(y, lp["wv"]).reshape(b, hkv, hd)
         q = M.apply_rope(q, cos, sin)
         kk = M.apply_rope(kk[:, None], cos, sin)[:, 0]
+
+        if ks_pool is not None:  # int8 pool: quantize per (head, token)
+            kk, kk_s = quant_kv_token(kk)  # [B, Hkv] f32 scales
+            vv, vv_s = quant_kv_token(vv)
 
         # write each slot's new kv at its (layer-offset) page/offset.  One
         # dynamic_update_slice per slot (static unroll, [Hkv, 1, 1, hd] each):
@@ -136,17 +174,28 @@ def paged_decode_step(
             at = (jnp.int32(0), base + page_ids[bi], offs[bi], jnp.int32(0))
             k_pool = jax.lax.dynamic_update_slice(k_pool, upd_k[:, bi][:, None, None, :], at)
             v_pool = jax.lax.dynamic_update_slice(v_pool, upd_v[:, bi][:, None, None, :], at)
+            if ks_pool is not None:  # page-major scale pools [L*N, Hkv, P]
+                s_at = (at[1], jnp.int32(0), at[2])
+                ks_pool = jax.lax.dynamic_update_slice(
+                    ks_pool, kk_s[bi][None, :, None], s_at)
+                vs_pool = jax.lax.dynamic_update_slice(
+                    vs_pool, vv_s[bi][None, :, None], s_at)
 
         g = h // hkv
         qg = q[:, 0].reshape(b, hkv, g, hd)  # heads grouped per kv head
         # the manual-DMA kernel needs tile-aligned page slices (lane dim 128,
-        # sublane mult of 8); tiny test/demo geometries fall back to XLA gather
-        if jax.devices()[0].platform == "tpu" and hd % 128 == 0 and page_size % 8 == 0:
+        # sublane mult of 8; int8 scale rows [Hkv, P] additionally want a
+        # 128-multiple page); tiny test/demo geometries fall back to XLA gather
+        kern_ok = hd % 128 == 0 and page_size % 8 == 0
+        if ks_pool is not None:
+            kern_ok = kern_ok and page_size % 128 == 0
+        if jax.devices()[0].platform == "tpu" and kern_ok:
             from usdm_tpu.ops.paged_attention import paged_decode_attention
 
             attn = paged_decode_attention(
                 qg, k_pool, v_pool, page_table + base, pos + 1,
                 sliding_window=cfg.sliding_window,
+                k_scales=ks_pool, v_scales=vs_pool,
             )
         else:
             from usdm_tpu.ops.paged_attention import paged_decode_attention_reference
@@ -154,6 +203,7 @@ def paged_decode_step(
             attn = paged_decode_attention_reference(
                 qg, k_pool, v_pool, page_table + base, pos + 1,
                 sliding_window=cfg.sliding_window,
+                k_scales=ks_pool, v_scales=vs_pool,
             )
         attn = attn.reshape(b, 1, h * hd)
         x = x + _psum(qmm(attn, lp["wo"]), tp_axis)
@@ -162,10 +212,10 @@ def paged_decode_step(
             qmm(jax.nn.silu(qmm(y, lp["w_gate"])) * qmm(y, lp["w_up"]), lp["w_down"]),
             tp_axis,
         )
-        return (x, k_pool, v_pool), None
+        return (x, PagedKV(k_pool, v_pool, ks_pool, vs_pool)), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (x, kv.k_pages, kv.v_pages),
+    (x, kv), _ = jax.lax.scan(
+        body, (x, kv),
         (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -180,7 +230,7 @@ def paged_decode_step(
     else:
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     nxt = jnp.where(active, nxt, 0)
-    return nxt, keys, PagedKV(new_k, new_v)
+    return nxt, keys, kv
 
 
 @partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample",
@@ -283,7 +333,9 @@ def paged_verify_step(
         jnp.logical_and(kv_pos < (seq_lens + k1)[:, None], active[:, None]), 0, -1)
 
     def body(carry, xs):
-        x, k_pool, v_pool = carry
+        x, kvp = carry
+        k_pool, v_pool = kvp.k_pages, kvp.v_pages
+        ks_pool, vs_pool = kvp.k_scales, kvp.v_scales
         lp, li = xs
         base = li * n_pages
         y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
@@ -293,8 +345,14 @@ def paged_verify_step(
         q = M.apply_rope(q, cos, sin)
         kk = M.apply_rope(kk, cos, sin)
 
-        kk_t = kk.transpose(2, 0, 1, 3).astype(k_pool.dtype)  # [Hkv, B, K1, hd]
-        vv_t = vv.transpose(2, 0, 1, 3).astype(v_pool.dtype)
+        kk_t = kk.transpose(2, 0, 1, 3)  # [Hkv, B, K1, hd]
+        vv_t = vv.transpose(2, 0, 1, 3)
+        if ks_pool is not None:  # int8 pool: quantize per (head, token)
+            kk_t, ks_t = quant_kv_token(kk_t)  # scales [Hkv, B, K1]
+            vv_t, vs_t = quant_kv_token(vv_t)
+        else:
+            kk_t = kk_t.astype(k_pool.dtype)
+            vv_t = vv_t.astype(v_pool.dtype)
         for bi in range(b):
             for j in range(k1):
                 at = (jnp.int32(0), base + w_pages[bi, j], w_offs[bi, j], jnp.int32(0))
@@ -302,11 +360,22 @@ def paged_verify_step(
                     k_pool, kk_t[:, bi, j][:, None, None, :], at)
                 v_pool = jax.lax.dynamic_update_slice(
                     v_pool, vv_t[:, bi, j][:, None, None, :], at)
+                if ks_pool is not None:  # page-major scale pools
+                    s_at = (at[1], jnp.int32(0), at[2])
+                    ks_pool = jax.lax.dynamic_update_slice(
+                        ks_pool, ks_t[:, bi, j][None, :, None], s_at)
+                    vs_pool = jax.lax.dynamic_update_slice(
+                        vs_pool, vs_t[:, bi, j][None, :, None], s_at)
 
         # context gather (includes the K+1 tokens just written)
         abs_ids = base + row_ids  # [B, ncp]
         kc = k_pool[:, abs_ids]  # [Hkv, B, ncp, P, hd]
         vc = v_pool[:, abs_ids]
+        if ks_pool is not None:  # dequantize the gathered context
+            kc = kc.astype(jnp.float32) * jnp.moveaxis(
+                ks_pool[abs_ids], 2, 0)[..., None]
+            vc = vc.astype(jnp.float32) * jnp.moveaxis(
+                vs_pool[abs_ids], 2, 0)[..., None]
         kc = kc.transpose(1, 2, 3, 0, 4).reshape(b, s_ctx, hkv, hd)
         vc = vc.transpose(1, 2, 3, 0, 4).reshape(b, s_ctx, hkv, hd)
         attn = mha(
@@ -320,10 +389,10 @@ def paged_verify_step(
         x = x + _psum(
             qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]),
                 lp["w_down"]), tp_axis)
-        return (x, k_pool, v_pool), None
+        return (x, PagedKV(k_pool, v_pool, ks_pool, vs_pool)), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (x, kv.k_pages, kv.v_pages),
+    (x, kv), _ = jax.lax.scan(
+        body, (x, kv),
         (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -332,7 +401,7 @@ def paged_verify_step(
         logits = jax.lax.all_gather(logits, tp_axis, axis=2, tiled=True)
     logits = jnp.where(allow_masks[:, None, :], logits, NEG_INF)
     out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, K1]
-    return out, PagedKV(new_k, new_v)
+    return out, kv
 
 
 @partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
@@ -436,7 +505,9 @@ def paged_prefill_chunk(
     kv_seg = jnp.where(kv_pos < start + n_valid, 0, -1)
 
     def body(carry, xs):
-        x, k_pool, v_pool = carry
+        x, kvp = carry
+        k_pool, v_pool = kvp.k_pages, kvp.v_pages
+        ks_pool, vs_pool = kvp.k_scales, kvp.v_scales
         lp, li = xs
         base = li * n_pages
         y = M.rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
@@ -446,8 +517,14 @@ def paged_prefill_chunk(
         q = M.apply_rope(q, cos, sin)
         kk = M.apply_rope(kk, cos, sin)
 
-        kk_t = kk[0].transpose(1, 0, 2).astype(k_pool.dtype)  # [Hkv, C, hd]
-        vv_t = vv[0].transpose(1, 0, 2).astype(v_pool.dtype)
+        kk_t = kk[0].transpose(1, 0, 2)  # [Hkv, C, hd]
+        vv_t = vv[0].transpose(1, 0, 2)
+        if ks_pool is not None:  # int8 pool: quantize per (head, token)
+            kk_t, ks_t = quant_kv_token(kk_t)  # scales [Hkv, C]
+            vv_t, vs_t = quant_kv_token(vv_t)
+        else:
+            kk_t = kk_t.astype(k_pool.dtype)
+            vv_t = vv_t.astype(v_pool.dtype)
         if c % p == 0:
             # chunk starts are always multiples of the (static) chunk size, so
             # when the page size divides the chunk, the chunk covers exactly
@@ -459,6 +536,9 @@ def paged_prefill_chunk(
             # masking hides and later writes overwrite.
             kk_p = kk_t.reshape(hkv, c // p, p, hd)
             vv_p = vv_t.reshape(hkv, c // p, p, hd)
+            if ks_pool is not None:  # page-major [c/p, Hkv, p] scale tiles
+                ks_p = ks_t.reshape(hkv, c // p, p).transpose(1, 0, 2)
+                vs_p = vs_t.reshape(hkv, c // p, p).transpose(1, 0, 2)
             maxp = page_table_row.shape[0]
             for j in range(c // p):
                 pg = page_table_row[jnp.minimum(start // p + j, maxp - 1)]
@@ -466,13 +546,29 @@ def paged_prefill_chunk(
                 at = (jnp.int32(0), base + pg, jnp.int32(0), jnp.int32(0))
                 k_pool = jax.lax.dynamic_update_slice(k_pool, kk_p[:, j][:, None], at)
                 v_pool = jax.lax.dynamic_update_slice(v_pool, vv_p[:, j][:, None], at)
+                if ks_pool is not None:
+                    s_at = (at[1], jnp.int32(0), jnp.int32(0))
+                    ks_pool = jax.lax.dynamic_update_slice(
+                        ks_pool, ks_p[j][None], s_at)
+                    vs_pool = jax.lax.dynamic_update_slice(
+                        vs_pool, vs_p[j][None], s_at)
         else:  # unaligned (small-page test geometries): scatter fallback
             k_pool = k_pool.at[:, base + pages_t, offs_t].set(kk_t)
             v_pool = v_pool.at[:, base + pages_t, offs_t].set(vv_t)
+            if ks_pool is not None:
+                ks_pool = ks_pool.at[base + pages_t, :, offs_t].set(ks_t.T)
+                vs_pool = vs_pool.at[base + pages_t, :, offs_t].set(vs_t.T)
 
         # gather this request's context (including the chunk just written)
-        kc = k_pool[:, base + row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
-        vc = v_pool[:, base + row_ids].reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+        kc = k_pool[:, base + row_ids]  # [Hkv, ncp, P, hd]
+        vc = v_pool[:, base + row_ids]
+        if ks_pool is not None:  # dequantize the gathered context
+            kc = kc.astype(jnp.float32) * jnp.moveaxis(
+                ks_pool[base + row_ids], 1, 0)[..., None]
+            vc = vc.astype(jnp.float32) * jnp.moveaxis(
+                vs_pool[base + row_ids], 1, 0)[..., None]
+        kc = kc.reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+        vc = vc.reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
         attn = mha(
             q, kc.astype(cdt), vc.astype(cdt),
             q_segment_ids=q_seg, kv_segment_ids=kv_seg,
@@ -485,10 +581,10 @@ def paged_prefill_chunk(
             qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]), lp["w_down"]),
             tp_axis,
         )
-        return (x, k_pool, v_pool), None
+        return (x, PagedKV(k_pool, v_pool, ks_pool, vs_pool)), None
 
-    (x, new_k, new_v), _ = jax.lax.scan(
-        body, (x, kv.k_pages, kv.v_pages),
+    (x, kv), _ = jax.lax.scan(
+        body, (x, kv),
         (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
@@ -496,7 +592,7 @@ def paged_prefill_chunk(
     logits = (x[0, last] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=0, tiled=True)
-    return logits, PagedKV(new_k, new_v)
+    return logits, kv
 
 
 @partial(jax.jit, static_argnames=("do_sample",))

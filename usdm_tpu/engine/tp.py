@@ -101,9 +101,16 @@ def shard_params(params: M.Params, mesh: Mesh, cfg: MistralConfig) -> M.Params:
     )
 
 
+def _kv_specs(kv: PG.PagedKV) -> PG.PagedKV:
+    """PartitionSpec tree matching `kv`'s structure (int8 pools carry
+    per-(head, token) scale arrays that shard over kv heads like the pages)."""
+    sp = None if kv.k_scales is None else P(None, AXIS, None)  # [L*N, Hkv, P]
+    return PG.PagedKV(KV_SPEC, KV_SPEC, sp, sp)
+
+
 def shard_kv(kv: PG.PagedKV, mesh: Mesh) -> PG.PagedKV:
-    put = lambda x: jax.device_put(x, NamedSharding(mesh, KV_SPEC))  # noqa: E731
-    return PG.PagedKV(put(kv.k_pages), put(kv.v_pages))
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), kv, _kv_specs(kv))
 
 
 def make_decode_step(mesh: Mesh, cfg: MistralConfig, page_size: int):
@@ -120,7 +127,7 @@ def make_decode_step(mesh: Mesh, cfg: MistralConfig, page_size: int):
             )
 
         specs = _spec_tree(params)
-        kv_specs = PG.PagedKV(KV_SPEC, KV_SPEC)
+        kv_specs = _kv_specs(kv)
         fn = shard_map(
             inner, mesh=mesh,
             in_specs=(specs, kv_specs, rep, rep, rep, rep, rep, rep, rep, rep, rep),
@@ -150,7 +157,7 @@ def make_decode_step_chained(mesh: Mesh, cfg: MistralConfig, page_size: int):
             )
 
         specs = _spec_tree(params)
-        kv_specs = PG.PagedKV(KV_SPEC, KV_SPEC)
+        kv_specs = _kv_specs(kv)
         fn = shard_map(
             inner, mesh=mesh,
             in_specs=(specs, kv_specs, rep, rep, rep, rep, rep, rep, rep, rep,
@@ -180,7 +187,7 @@ def make_spec_accept(mesh: Mesh, cfg: MistralConfig, page_size: int):
             )
 
         specs = _spec_tree(params)
-        kv_specs = PG.PagedKV(KV_SPEC, KV_SPEC)
+        kv_specs = _kv_specs(kv)
         fn = shard_map(
             inner, mesh=mesh,
             in_specs=(specs, kv_specs, rep, rep, rep, rep, rep, rep, rep),
@@ -204,7 +211,7 @@ def make_prefill_chunk(mesh: Mesh, cfg: MistralConfig, page_size: int):
             )
 
         specs = _spec_tree(params)
-        kv_specs = PG.PagedKV(KV_SPEC, KV_SPEC)
+        kv_specs = _kv_specs(kv)
         fn = shard_map(
             inner, mesh=mesh,
             in_specs=(specs, kv_specs, rep, rep, rep, rep),

@@ -46,19 +46,25 @@ def _decode_kernel(
     q_ref,  # [1, Hkv, G, d]  (this slot's queries)
     k_hbm,  # [Hkv, N, P, d] page pool, stays in HBM
     v_hbm,  # [Hkv, N, P, d]
-    o_ref,  # [1, Hkv, G, d]
-    # scratch
-    k_buf,  # [2, Hkv, BLK, P, d] VMEM double buffer
-    v_buf,  # [2, Hkv, BLK, P, d]
-    k_sem,  # [2, BLK] DMA semaphores
-    v_sem,  # [2, BLK]
-    *,
+    *rest,  # quantized: ks_hbm, vs_hbm [N, Hkv, P] f32 (page-major: the
+    #         per-page DMA slices the untiled leading axis), then out+scratch:
+    #         o_ref [1, Hkv, G, d];
+    #         k_buf / v_buf [2, Hkv, BLK, P, d] VMEM double buffers;
+    #         (quantized: ks_buf / vs_buf [2, BLK, Hkv, P] f32 scale buffers;)
+    #         k_sem / v_sem (/ ks_sem / vs_sem) [2, BLK] DMA semaphores
     scale: float,
     page_size: int,
     window: Optional[int],
     block_pages: int,
     max_pages: int,
+    quantized: bool,
 ):
+    if quantized:
+        (ks_hbm, vs_hbm, o_ref, k_buf, v_buf, ks_buf, vs_buf,
+         k_sem, v_sem, ks_sem, vs_sem) = rest
+    else:
+        o_ref, k_buf, v_buf, k_sem, v_sem = rest
+        ks_hbm = vs_hbm = ks_buf = vs_buf = ks_sem = vs_sem = None
     bi = pl.program_id(0)
     kv_len = seq_lens_ref[bi]
     hkv, g, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
@@ -78,40 +84,54 @@ def _decode_kernel(
         one strided descriptor moves the page for every kv head."""
         pg = blk * block_pages + j
         pid = page_table_ref[bi, jnp.clip(pg, 0, max_pages - 1)]
-        kd = pltpu.make_async_copy(
-            k_hbm.at[:, pid], k_buf.at[slot, :, j], k_sem.at[slot, j]
-        )
-        vd = pltpu.make_async_copy(
-            v_hbm.at[:, pid], v_buf.at[slot, :, j], v_sem.at[slot, j]
-        )
+        dmas = [
+            pltpu.make_async_copy(
+                k_hbm.at[:, pid], k_buf.at[slot, :, j], k_sem.at[slot, j]
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[:, pid], v_buf.at[slot, :, j], v_sem.at[slot, j]
+            ),
+        ]
+        if quantized:
+            dmas.append(pltpu.make_async_copy(
+                ks_hbm.at[pid], ks_buf.at[slot, j], ks_sem.at[slot, j]
+            ))
+            dmas.append(pltpu.make_async_copy(
+                vs_hbm.at[pid], vs_buf.at[slot, j], vs_sem.at[slot, j]
+            ))
         in_range = jnp.logical_and(pg >= first_page, pg <= last_page)
-        return kd, vd, in_range
+        return dmas, in_range
 
     def start_block(slot, blk):
         for j in range(block_pages):  # static unroll
-            kd, vd, in_range = page_dmas(slot, blk, j)
+            dmas, in_range = page_dmas(slot, blk, j)
 
             @pl.when(in_range)
             def _():
-                kd.start()
-                vd.start()
+                for d_ in dmas:
+                    d_.start()
 
             @pl.when(jnp.logical_not(in_range))
             def _():
                 # out-of-range pages are never copied: stale VMEM could hold
                 # NaN bit patterns, and 0 * NaN = NaN survives the pv matmul
-                # even under the probability mask — zero them.
+                # even under the probability mask — zero them.  (Stale f32
+                # scales can be NaN too, and pexp * NaN-scale = NaN at masked
+                # positions — zero the scale buffers as well.)
                 k_buf[slot, :, j] = jnp.zeros_like(k_buf[slot, :, j])
                 v_buf[slot, :, j] = jnp.zeros_like(v_buf[slot, :, j])
+                if quantized:
+                    ks_buf[slot, j] = jnp.zeros_like(ks_buf[slot, j])
+                    vs_buf[slot, j] = jnp.zeros_like(vs_buf[slot, j])
 
     def wait_block(slot, blk):
         for j in range(block_pages):
-            kd, vd, in_range = page_dmas(slot, blk, j)
+            dmas, in_range = page_dmas(slot, blk, j)
 
             @pl.when(in_range)
             def _():
-                kd.wait()
-                vd.wait()
+                for d_ in dmas:
+                    d_.wait()
 
     start_block(0, first_blk)
 
@@ -130,10 +150,18 @@ def _decode_kernel(
 
         k = k_buf[slot].reshape(hkv, blk_tok, d)  # [Hkv, T, d]
         v = v_buf[slot].reshape(hkv, blk_tok, d)
+        if quantized:  # int8 pages: MXU-friendly cast, scales applied below
+            k = k.astype(qv.dtype)
         # batched over kv heads: [Hkv, G, d] x [Hkv, T, d] -> [Hkv, G, T]
         s = jax.lax.dot_general(
             qv, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
+        if quantized:
+            # per-(head, token) symmetric scales: q . (k_int * s_t) ==
+            # (q . k_int) * s_t — one [Hkv, 1, T] broadcast on the scores
+            # (scale buffers are page-major [BLK, Hkv, P]: transpose to token
+            # order j*P+off matching the k/v reshape above)
+            s = s * ks_buf[slot].transpose(1, 0, 2).reshape(hkv, 1, blk_tok)
 
         kv_pos = blk * blk_tok + jax.lax.broadcasted_iota(jnp.int32, (1, 1, blk_tok), 2)
         valid = kv_pos < kv_len
@@ -148,6 +176,11 @@ def _decode_kernel(
         alpha = jnp.exp(m - m_new)
         pexp = jnp.where(valid, jnp.exp(s - m_new), 0.0)
         l_new = alpha * l + jnp.sum(pexp, axis=2, keepdims=True)
+        if quantized:
+            # fold the v dequant into the probabilities: p . (v_int * s_t) ==
+            # (p * s_t) . v_int  (scale is constant along d)
+            pexp = pexp * vs_buf[slot].transpose(1, 0, 2).reshape(hkv, 1, blk_tok)
+            v = v.astype(jnp.bfloat16)
         # [Hkv, G, T] x [Hkv, T, d] -> [Hkv, G, d]
         pv = jax.lax.dot_general(
             pexp.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
@@ -173,46 +206,74 @@ def paged_decode_attention(
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
     block_pages: int = 4,
+    k_scales: Optional[jnp.ndarray] = None,  # [N, Hkv, P] f32 (int8 pools)
+    v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """-> [B, Hkv, G, d] attention outputs.
 
     `block_pages` pages are DMA'd per compute block (double-buffered); the
-    tail block's out-of-range pages are neither copied nor unmasked."""
+    tail block's out-of-range pages are neither copied nor unmasked.  With
+    `k_scales`/`v_scales` the pools are int8 with per-(head, token) symmetric
+    scales (engine.paged_ops.quant_kv_token): the kernel streams the scale
+    rows alongside the pages and folds dequantization into the softmax —
+    k-scales multiply the scores, v-scales multiply the probabilities — so
+    the matmuls stay dense and the page traffic halves."""
     b, hkv, g, d = q.shape
     _, n, p, _ = k_pages.shape
+    quantized = k_scales is not None
     maxp = page_table.shape[1]
     scale = d**-0.5 if scale is None else scale
-    # double buffers (k+v) must fit the ~16 MB VMEM alongside q/out blocks:
-    # 2 slots * 2 arrays * Hkv * BLK * P * d * itemsize <= ~10 MB
+    # double buffers (k+v [+ scales]) must fit the ~16 MB VMEM alongside
+    # q/out blocks: 2 slots * sum(array bytes per block-page) <= ~10 MB
     per_block = 4 * hkv * p * d * k_pages.dtype.itemsize
+    if quantized:
+        per_block += 4 * hkv * p * 4  # two f32 scale rows, double-buffered
     block_pages = max(1, min(block_pages, maxp, (10 << 20) // per_block))
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=p, window=sliding_window,
-        block_pages=block_pages, max_pages=maxp,
+        block_pages=block_pages, max_pages=maxp, quantized=quantized,
     )
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+    in_specs = [
+        pl.BlockSpec((1, hkv, g, d), lambda bi, pt, sl: (bi, 0, 0, 0)),
+        any_spec,
+        any_spec,
+    ]
+    inputs = [q, k_pages, v_pages]
+    kv_scratch = [
+        pltpu.VMEM((2, hkv, block_pages, p, d), k_pages.dtype),
+        pltpu.VMEM((2, hkv, block_pages, p, d), v_pages.dtype),
+    ]
+    sem_scratch = [
+        pltpu.SemaphoreType.DMA((2, block_pages)),
+        pltpu.SemaphoreType.DMA((2, block_pages)),
+    ]
+    if quantized:
+        in_specs += [any_spec, any_spec]
+        inputs += [k_scales, v_scales]
+        kv_scratch += [
+            pltpu.VMEM((2, block_pages, hkv, p), jnp.float32),
+            pltpu.VMEM((2, block_pages, hkv, p), jnp.float32),
+        ]
+        sem_scratch += [
+            pltpu.SemaphoreType.DMA((2, block_pages)),
+            pltpu.SemaphoreType.DMA((2, block_pages)),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, hkv, g, d), lambda bi, pt, sl: (bi, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hkv, g, d), lambda bi, pt, sl: (bi, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, hkv, block_pages, p, d), k_pages.dtype),
-            pltpu.VMEM((2, hkv, block_pages, p, d), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, block_pages)),
-            pltpu.SemaphoreType.DMA((2, block_pages)),
-        ],
+        scratch_shapes=kv_scratch + sem_scratch,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
-    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), q, k_pages, v_pages)
+    )(page_table.astype(jnp.int32), seq_lens.astype(jnp.int32), *inputs)
 
 
 def paged_decode_attention_reference(
@@ -223,14 +284,23 @@ def paged_decode_attention_reference(
     seq_lens: jnp.ndarray,
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
+    k_scales: Optional[jnp.ndarray] = None,  # [N, Hkv, P] f32 (int8 pools)
+    v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """jnp gather reference with identical semantics (used on CPU and as the
-    kernel's golden model)."""
+    kernel's golden model).  int8 pools dequantize after the gather."""
     b, hkv, g, d = q.shape
     _, n, p, _ = k_pages.shape
     scale = d**-0.5 if scale is None else scale
     kc = k_pages[:, page_table]  # [Hkv, B, maxp, P, d]
     vc = v_pages[:, page_table]
+    if k_scales is not None:  # page-major scales [N, Hkv, P] -> head-major
+        kc = kc.astype(jnp.float32) * jnp.moveaxis(
+            k_scales[page_table], 2, 0)[..., None]
+        vc = vc.astype(jnp.float32) * jnp.moveaxis(
+            v_scales[page_table], 2, 0)[..., None]
+        kc = kc.astype(q.dtype)
+        vc = vc.astype(q.dtype)
     s_max = kc.shape[2] * p
     kc = jnp.moveaxis(kc, 0, 1).reshape(b, hkv, s_max, d)
     vc = jnp.moveaxis(vc, 0, 1).reshape(b, hkv, s_max, d)
