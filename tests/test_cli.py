@@ -103,3 +103,67 @@ def test_serve_http_dense_fallback(user_wav):
         assert "agent_text" in payload and "n_units" in payload
     finally:
         server.shutdown()
+
+
+def _multipart_body(fields):
+    """Build a multipart/form-data (body, content_type) from {name: bytes}."""
+    boundary = "usdmtpuboundary42"
+    out = b""
+    for name, data in fields.items():
+        out += (
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="{name}"; filename="{name}.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n"
+        ).encode() + data + b"\r\n"
+    out += f"--{boundary}--\r\n".encode()
+    return out, f'multipart/form-data; boundary="{boundary}"'
+
+
+def test_serve_http_multipart_reference(user_wav):
+    """POST /respond with named multipart fields: `wav` + optional speaker
+    `reference` (streamlit_demo.py:96-205 parity for the HTTP API).  The
+    response inlines audio as base64 instead of leaking a server temp path;
+    oversized bodies are rejected with 413."""
+    from http.server import ThreadingHTTPServer
+
+    from usdm_tpu.cli.serve import make_handler
+    from usdm_tpu.core.config import EngineConfig
+    from usdm_tpu.pipeline import UsdmPipeline
+
+    pipe = UsdmPipeline.tiny_random()
+    eng_server = pipe.make_server(EngineConfig(
+        page_size=32, max_pages_per_seq=64, max_batch_size=2, prefill_chunk=256))
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(pipe, eng_server, n_timesteps=2))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        wav_bytes = open(user_wav, "rb").read()
+        body, ctype = _multipart_body({"reference": wav_bytes, "wav": wav_bytes})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/respond", data=body, method="POST",
+            headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            payload = json.loads(r.read())
+        assert "agent_text" in payload and "audio_b64" in payload
+        assert "audio_path" not in payload
+        if payload["n_units"]:
+            import base64
+
+            assert base64.b64decode(payload["audio_b64"])[:4] == b"RIFF"
+
+        # over-limit Content-Length -> 413 without reading the body
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/respond", data=b"x", method="POST",
+            headers={"Content-Length": str(100 * 1024 * 1024)})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 413
+        except urllib.error.URLError:
+            raised = True  # server closed the connection on the bogus length
+        assert raised
+    finally:
+        server.shutdown()
+        eng_server.close()

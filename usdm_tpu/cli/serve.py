@@ -8,11 +8,14 @@ streamlit_demo.py:64): concurrent requests interleave their 3-stage decodes
 on one chip instead of queuing behind a lock.  Endpoints:
 
   GET  /           upload page
-  POST /respond    multipart or raw wav body -> JSON {user_text, agent_text,
-                   n_units} + audio path; ?audio=1 returns the wav.
+  POST /respond    multipart (fields: `wav` = user speech, optional
+                   `reference` = speaker-reference wav for voice adaptation,
+                   streamlit_demo.py:96-205) or raw wav body -> JSON
+                   {user_text, agent_text, n_units, audio_b64};
+                   ?audio=1 returns the raw wav instead.
                    Query params: top_k, top_p, temperature, seed, n_timesteps
   GET  /health     liveness probe
-  GET  /stats      engine telemetry JSON (tokens, slots, pool, speculation)
+  GET  /stats     engine telemetry JSON (tokens, slots, pool, speculation)
 
 Usage:
   python -m usdm_tpu.cli.serve --demo --port 8600
@@ -35,9 +38,14 @@ _PAGE = b"""<!doctype html>
 <h1>usdm-tpu spoken dialog</h1>
 <form method=post action="/respond?audio=1" enctype=multipart/form-data>
   <p>User speech wav: <input type=file name=wav></p>
+  <p>Speaker reference wav (optional): <input type=file name=reference></p>
   <p><button>Respond</button></p>
 </form>
 """
+
+# request-body cap: a minute of 48 kHz float32 stereo is ~23 MB; anything
+# bigger than this is not a dialog turn
+MAX_BODY_BYTES = 64 * 1024 * 1024
 
 
 def _qnum(q, name, cast, default):
@@ -45,6 +53,45 @@ def _qnum(q, name, cast, default):
         return cast(q[name][0])
     except (KeyError, ValueError, IndexError):
         return default
+
+
+def _parse_multipart(body: bytes, ctype: str) -> dict:
+    """Parse a multipart/form-data body into {field name: bytes}.
+
+    Minimal but correct per RFC 7578 for our two file fields: honors the
+    declared boundary (quoted or not), parses each part's headers for the
+    Content-Disposition `name`, and strips exactly the CRLF framing — unlike
+    the round-2 "first filename= wins" splitter, which broke on multi-field
+    forms and on filenames containing `filename=`."""
+    boundary = ""
+    for param in ctype.split(";")[1:]:
+        k, _, v = param.strip().partition("=")
+        if k.lower() == "boundary":
+            boundary = v.strip('"')
+    if not boundary:
+        raise ValueError("multipart body without a boundary parameter")
+    delim = b"--" + boundary.encode()
+    fields: dict = {}
+    for part in body.split(delim)[1:]:
+        if part.startswith(b"--"):  # closing delimiter
+            break
+        part = part.lstrip(b"\r\n")
+        head, sep, payload = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        name = None
+        for line in head.split(b"\r\n"):
+            k, _, v = line.decode("latin-1").partition(":")
+            if k.strip().lower() != "content-disposition":
+                continue
+            for item in v.split(";"):
+                ik, _, iv = item.strip().partition("=")
+                if ik.lower() == "name":
+                    name = iv.strip('"')
+        if name is not None:
+            # payload ends with CRLF before the next delimiter
+            fields[name] = payload[:-2] if payload.endswith(b"\r\n") else payload
+    return fields
 
 
 def make_handler(pipe, server, n_timesteps: int):
@@ -90,17 +137,27 @@ def make_handler(pipe, server, n_timesteps: int):
                 return
             q = parse_qs(url.query)
             length = int(self.headers.get("Content-Length", 0))
+            if length > MAX_BODY_BYTES:
+                self.send_response(413)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(
+                    {"error": f"body exceeds {MAX_BODY_BYTES} bytes"}).encode())
+                return
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
+            ref_bytes = b""
             if "multipart/form-data" in ctype:
-                # crude multipart extraction of the first file part
-                boundary = ctype.split("boundary=")[-1].encode()
-                parts = body.split(b"--" + boundary)
-                wav_bytes = b""
-                for part in parts:
-                    if b"filename=" in part:
-                        wav_bytes = part.split(b"\r\n\r\n", 1)[1].rsplit(b"\r\n", 1)[0]
-                        break
+                try:
+                    fields = _parse_multipart(body, ctype)
+                except ValueError as e:
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(json.dumps({"error": str(e)}).encode())
+                    return
+                wav_bytes = fields.get("wav", b"")
+                ref_bytes = fields.get("reference", b"")
             else:
                 wav_bytes = body
 
@@ -108,6 +165,11 @@ def make_handler(pipe, server, n_timesteps: int):
                 f.write(wav_bytes)
                 in_path = f.name
             out_path = in_path + ".out.wav"
+            ref_path = None
+            if ref_bytes:
+                with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                    f.write(ref_bytes)
+                    ref_path = f.name
 
             steps = _qnum(q, "n_timesteps", int, n_timesteps)
             seed = _qnum(q, "seed", int, 0)
@@ -126,8 +188,17 @@ def make_handler(pipe, server, n_timesteps: int):
                     from usdm_tpu.audio.wav import load_wav
 
                     wav, _ = load_wav(in_path, sr=pipe.xlsr_cfg.sample_rate)
+                    reference = None
                     with xlsr_lock:
                         units = pipe.extract_units(wav)
+                        if ref_path is not None:
+                            # speaker adaptation via a reference prompt
+                            # (streamlit_demo.py:96-205); XLS-R inside the lock
+                            from usdm_tpu.engine.synthesis import prepare_reference
+
+                            reference = prepare_reference(
+                                ref_path, pipe.xlsr_params, pipe.xlsr_cfg,
+                                pipe.decoder.mel_cfg)
                     result = policy.respond_to_units(units)
                     if result.agent_units:
                         import jax
@@ -135,7 +206,7 @@ def make_handler(pipe, server, n_timesteps: int):
                         with synth_lock:
                             audio = pipe.decoder.synthesize(
                                 result.agent_units, jax.random.PRNGKey(seed),
-                                reference=None, n_timesteps=steps,
+                                reference=reference, n_timesteps=steps,
                             )
                         from usdm_tpu.audio.wav import write_wav
 
@@ -143,7 +214,7 @@ def make_handler(pipe, server, n_timesteps: int):
                 else:
                     with dense_lock:  # --dense: one request at a time
                         result = pipe.respond(
-                            in_path, out_path, None, n_timesteps=steps,
+                            in_path, out_path, ref_path, n_timesteps=steps,
                             seed=seed,
                             top_k=_qnum(q, "top_k", int, 1),
                             top_p=_qnum(q, "top_p", float, 1.0),
@@ -156,9 +227,17 @@ def make_handler(pipe, server, n_timesteps: int):
                 self.wfile.write(json.dumps({"error": str(e)}).encode())
                 return
 
-            if "audio=1" in (url.query or "") and result.agent_units:
+            import base64
+            import os
+
+            audio_bytes = b""
+            if result.agent_units and os.path.exists(out_path):
                 with open(out_path, "rb") as f:
                     audio_bytes = f.read()
+            for p in (in_path, out_path, ref_path):
+                if p and os.path.exists(p):
+                    os.unlink(p)
+            if "audio=1" in (url.query or "") and result.agent_units:
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("X-User-Text", result.user_text[:512])
@@ -166,6 +245,9 @@ def make_handler(pipe, server, n_timesteps: int):
                 self.end_headers()
                 self.wfile.write(audio_bytes)
             else:
+                # audio ships inline: the round-2 API returned the server's
+                # temp path, which leaked filesystem layout and was unreadable
+                # for remote callers
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
@@ -173,7 +255,7 @@ def make_handler(pipe, server, n_timesteps: int):
                     "user_text": result.user_text,
                     "agent_text": result.agent_text,
                     "n_units": len(result.agent_units),
-                    "audio_path": out_path,
+                    "audio_b64": base64.b64encode(audio_bytes).decode(),
                 }).encode())
 
     return Handler
@@ -208,6 +290,9 @@ def main(argv=None) -> int:
                         "target's first 8 layers (alternative to --draft_dir)")
     p.add_argument("--spec_k", type=int, default=4,
                    help="draft tokens per speculative round")
+    p.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16",
+                   help="KV page pool dtype: int8 halves page HBM and "
+                        "attention-read traffic (vLLM fp8-KV analog)")
     args = p.parse_args(argv)
 
     from usdm_tpu.core.config import EngineConfig
@@ -237,6 +322,7 @@ def main(argv=None) -> int:
             max_batch_size=args.max_batch_size,
             prefill_chunk=args.prefill_chunk,
             spec_k=args.spec_k,
+            kv_dtype=None if args.kv_dtype == "bf16" else args.kv_dtype,
         ), tp=args.tp, draft=draft)
 
     httpd = ThreadingHTTPServer(
