@@ -219,23 +219,96 @@ def bench_decoder_only():
     return min(times) / seconds, "speech_decoder_rtf"
 
 
-def main():
-    try:
-        rtf, metric = bench_e2e()
-    except Exception:
-        rtf, metric = bench_decoder_only()
-    out = {
-        "metric": metric,
-        "value": round(rtf, 4),
-        "unit": "rtf",
-        "vs_baseline": round(1.0 / rtf, 2),
+def bench_serving(n_clients: int = 8, reqs_per_client: int = 2,
+                  prompt_len: int = 384, max_new: int = 128):
+    """Serving under load: `n_clients` concurrent threads submit dialog-shaped
+    requests through an `EngineServer` over a full-geometry 7B-int8 engine
+    (zero weights; uniform sampling pins the budgets).  Reports aggregate
+    decode throughput and p50/p95 time-to-first-token — the vLLM serving-
+    benchmark analog (reference inference_vllm.py:109)."""
+    import threading
+
+    from usdm_tpu.core.config import EngineConfig, MistralConfig
+    from usdm_tpu.engine.paged import PagedEngine
+    from usdm_tpu.engine.server import EngineServer
+    from usdm_tpu.models import mistral as M
+    from usdm_tpu.models.quant import quantize_llm_params
+
+    cfg = MistralConfig()
+    params = _zeros_like_shapes(jax.eval_shape(
+        lambda: quantize_llm_params(M.init_params(cfg, jax.random.PRNGKey(0)))))
+    ecfg = EngineConfig(page_size=256, max_pages_per_seq=3,
+                        max_batch_size=n_clients, prefill_chunk=256)
+    eng = PagedEngine(params, cfg, ecfg)
+    server = EngineServer(eng)
+    rng = np.random.default_rng(0)
+    allow = np.ones(cfg.vocab_size, bool)
+    allow[:3] = False  # keep EOS (id 2) unreachable under uniform sampling
+
+    def client(ci, out):
+        toks = 0
+        for r in range(reqs_per_client):
+            prompt = rng.integers(3, 32000, prompt_len).tolist()
+            toks += len(server.generate(
+                prompt, allow, eos_id=2, max_new_tokens=max_new,
+                top_k=0, temperature=1.0, seed=ci * 131 + r, timeout=600))
+        out[ci] = toks
+
+    # warm-up: compile prefill + batched decode shapes once
+    server.generate(rng.integers(3, 32000, prompt_len).tolist(), allow,
+                    eos_id=2, max_new_tokens=8, top_k=0, timeout=600)
+    done: dict = {}
+    threads = [threading.Thread(target=client, args=(i, done))
+               for i in range(n_clients)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    total_toks = sum(done.values())
+    ttfts = sorted(eng._ttfts)[1:]  # drop the warm-up sample
+    server.close()
+    pct = lambda q: round(ttfts[min(int(q * len(ttfts)), len(ttfts) - 1)], 4)  # noqa: E731
+    return {
+        "clients": n_clients,
+        "total_tok_s": round(total_toks / wall, 1),
+        "ttft_p50_s": pct(0.50) if ttfts else None,
+        "ttft_p95_s": pct(0.95) if ttfts else None,
     }
-    # the REAL product path (pipeline.respond with host templating + dense
-    # prefix-reuse decode) measured alongside the component proxy
+
+
+def main():
+    """Primary metric: the REAL product path (`UsdmPipeline.respond()` wall
+    clock — VERDICT r2: the component proxy is demoted to an extra)."""
+    import gc
+
+    out = {"unit": "rtf"}
     try:
-        out["e2e_pipeline_rtf"] = round(bench_pipeline(), 4)
-    except Exception as e:  # never lose the primary metric
+        rtf = bench_pipeline()
+        out.update(metric="e2e_pipeline_rtf", value=round(rtf, 4),
+                   vs_baseline=round(1.0 / rtf, 2))
+    except Exception as e:
         out["e2e_pipeline_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            rtf, metric = bench_e2e()
+        except Exception:
+            rtf, metric = bench_decoder_only()
+        out.update(metric=metric, value=round(rtf, 4),
+                   vs_baseline=round(1.0 / rtf, 2))
+        print(json.dumps(out))
+        return
+    gc.collect()
+    try:  # component proxy (prefill+decode slice + decoder, extrapolated)
+        proxy, _ = bench_e2e()
+        out["component_proxy_rtf"] = round(proxy, 4)
+    except Exception as e:
+        out["component_proxy_error"] = f"{type(e).__name__}: {e}"[:200]
+    gc.collect()
+    try:  # serving under concurrent load (total tok/s + TTFT percentiles)
+        out["serving"] = bench_serving()
+    except Exception as e:
+        out["serving_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 
