@@ -123,6 +123,8 @@ class PagedEngine:
         # +1: the last page is a reserved scratch target for inactive slots
         n_pages = (ecfg.n_pages or ecfg.max_batch_size * ecfg.max_pages_per_seq) + 1
         self.n_pages = n_pages
+        if ecfg.kv_dtype not in (None, "int8"):
+            raise ValueError(f"kv_dtype must be None or 'int8', got {ecfg.kv_dtype!r}")
         kv_dtype = jnp.int8 if ecfg.kv_dtype == "int8" else None
         self.kv = PagedKV.create(cfg, n_pages, ps, dtype=kv_dtype)
         if mesh is not None:

@@ -158,9 +158,13 @@ class UsdmPipeline:
             # pages so the stage-B/C prefix reuse keeps most of the previous
             # stage's KV (256-token pages rounded stage B's ~250-token common
             # prefix down to zero)
+            # prefill_chunk 512: the single caller has no admission-latency
+            # concern, and halving the chunk dispatches cuts stage-A/B
+            # prefill wall time (measured round 3, scripts/profile_respond)
             self._server = self.make_server(
                 EngineConfig(max_batch_size=1, decode_horizon=64,
-                             page_size=64, max_pages_per_seq=128),
+                             page_size=64, max_pages_per_seq=128,
+                             prefill_chunk=512),
                 draft=self._draft)
         return self._server
 
