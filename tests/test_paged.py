@@ -727,3 +727,54 @@ def test_int8_engine_close_to_bf16(setup, rng):
         PagedEngine(params, CFG, ECFG).run([r16])
     agree = sum(a == b for a, b in zip(r8.output_ids, r16.output_ids))
     assert agree >= min(len(r8.output_ids), len(r16.output_ids)) * 0.5
+
+
+# ---------------------------------------------------------------------------
+# sliced lm_head greedy decode (logits_slice)
+# ---------------------------------------------------------------------------
+
+
+def test_mask_slice_detection():
+    from usdm_tpu.engine.paged import _mask_slice
+
+    v = 96
+    m = np.zeros(v, bool)
+    m[40:90] = True
+    assert _mask_slice(m) == (40, 90, -1)
+    m[5] = True  # isolated low extra (stage-C shape)
+    assert _mask_slice(m) == (40, 90, 5)
+    m[5] = False
+    m[94] = True  # isolated high extra
+    assert _mask_slice(m) == (40, 90, 94)
+    m[7] = True  # two extras -> no slice
+    assert _mask_slice(m) is None
+    assert _mask_slice(np.ones(v, bool)) is None  # everything allowed
+    assert _mask_slice(np.zeros(v, bool)) is None
+
+
+def test_sliced_decode_matches_full_vocab(setup, rng):
+    """A stage-C-shaped mask (interval + isolated extra) triggers the sliced
+    lm_head path in the engine; output must equal the dense full-vocab
+    generate loop token for token."""
+    params = setup
+    mask = np.zeros(CFG.vocab_size, bool)
+    mask[40:90] = True
+    mask[5] = True  # extra column outside the interval; also the EOS
+    prompt = rng.integers(40, 90, size=10).tolist()
+
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ECFG)
+        req = Request(0, list(prompt), mask, eos_id=5, max_new_tokens=12)
+        eng.run([req])
+        # admission recorded the sliceable mask structure
+        assert eng.slot_slice[0] == (40, 90, 5)
+
+        toks, lens = generate(
+            params, CFG,
+            jnp.asarray(np.asarray(prompt, np.int32)[None]),
+            jnp.asarray([len(prompt)], jnp.int32),
+            jnp.asarray(mask), jnp.asarray(5, jnp.int32),
+            max_new_tokens=12, attn_impl="xla",
+        )
+    dense = np.asarray(toks[0, : int(lens[0])]).tolist()
+    assert req.output_ids[: len(dense)] == dense

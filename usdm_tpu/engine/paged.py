@@ -91,6 +91,28 @@ class Request:
         return self.top_k != 1
 
 
+def _mask_slice(mask) -> Optional[tuple]:
+    """(lo, hi, extra) if `mask` is an interval of allowed ids plus at most
+    one isolated extra column (the dialog stage masks,
+    ops/sampling.stage_allow_mask) — enables the lossless sliced-lm_head
+    greedy decode (paged_ops.paged_decode_step logits_slice).  None if the
+    mask has no such structure or allows everything (slice wouldn't help)."""
+    import numpy as _np
+
+    idx = _np.flatnonzero(_np.asarray(mask))
+    n = len(idx)
+    v = len(mask)
+    if n == 0 or n > 0.9 * v:
+        return None
+    if idx[-1] - idx[0] + 1 == n:  # pure interval
+        return (int(idx[0]), int(idx[-1]) + 1, -1)
+    if n >= 2 and idx[-1] - idx[1] + 1 == n - 1:  # isolated low + interval
+        return (int(idx[1]), int(idx[-1]) + 1, int(idx[0]))
+    if n >= 2 and idx[-2] - idx[0] + 1 == n - 1:  # interval + isolated high
+        return (int(idx[0]), int(idx[-2]) + 1, int(idx[-1]))
+    return None
+
+
 def _ctx_pages_bucket(n_pages: int, maxp: int) -> int:
     """Round the context-gather page count up to a power of two (bounds the
     number of compiled paged_prefill_chunk variants to log2(maxp))."""
@@ -158,6 +180,7 @@ class PagedEngine:
         self._dev_dirty = True
         self._slot_dev = None  # (table, eos, top_k, top_p, temp)
         self.slot_req: List[Optional[Request]] = [None] * b
+        self.slot_slice: List[Optional[tuple]] = [None] * b  # lm_head slice
         self.slot_pages: List[List[int]] = [[] for _ in range(b)]
         # sliding-window reclaim: count of leading pages already returned to
         # the pool (their tokens fell out of the attention window)
@@ -282,6 +305,7 @@ class PagedEngine:
         self.temp[slot] = req.temperature
         self.eos[slot] = req.eos_id
         self._allow_dev = self._allow_dev.at[slot].set(jnp.asarray(req.allow_mask))
+        self.slot_slice[slot] = _mask_slice(req.allow_mask)
         key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
         self._keys_dev = self._keys_dev.at[slot].set(jnp.asarray(key))
         self._dev_dirty = True
@@ -531,6 +555,15 @@ class PagedEngine:
             for s, r in enumerate(self.slot_req)
         )
 
+    def _active_slice(self, dec: np.ndarray, do_sample: bool) -> Optional[tuple]:
+        """The shared lm_head slice of the decoding set, when one exists
+        (greedy + single-device only; slots in different dialog stages or a
+        sampled batch fall back to the full-vocab tail)."""
+        if do_sample or self.mesh is not None:
+            return None
+        slices = {self.slot_slice[i] for i in np.flatnonzero(dec)}
+        return slices.pop() if len(slices) == 1 else None
+
     # ------------------------------------------------------------------ run
     def step(self) -> int:
         """Admit + one prefill chunk + one decode step.
@@ -560,6 +593,7 @@ class PagedEngine:
                 self._keys_dev, tk, tp_,
                 tmp, do_sample=self._do_sample(),
                 needs_filter=self._needs_filter(),
+                logits_slice=self._active_slice(dec, self._do_sample()),
             )
         if self.draft_params is not None:
             # mirror the step into the draft pool (token discarded) so the
@@ -672,6 +706,7 @@ class PagedEngine:
         n_steps = self._safe_horizon(n_steps, dec)
         do_sample = self._do_sample()
         needs_filter = self._needs_filter()
+        lslice = self._active_slice(dec, do_sample)
         tok = jnp.asarray(self.tokens)
         lens = jnp.asarray(self.seq_lens)
         table, eos, tk, tp_, tmp = self._slot_state_dev()
@@ -692,6 +727,7 @@ class PagedEngine:
                     active, done, eos, self._allow_dev,
                     self.ecfg.page_size, self._keys_dev, tk, tp_, tmp,
                     do_sample=do_sample, needs_filter=needs_filter,
+                    logits_slice=lslice,
                 )
             outs.append(tok)
         toks = np.asarray(jnp.stack(outs, axis=1))  # ONE host sync

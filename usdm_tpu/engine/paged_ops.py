@@ -95,7 +95,7 @@ def _proj_dim(w) -> int:
 
 
 @partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample", "tp_axis",
-                                   "needs_filter"),
+                                   "needs_filter", "logits_slice"),
          donate_argnums=(1,))
 def paged_decode_step(
     params: M.Params,
@@ -114,11 +114,20 @@ def paged_decode_step(
     do_sample: bool = False,
     tp_axis: Optional[str] = None,
     needs_filter: bool = True,
+    logits_slice: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, PagedKV]:
     """One decode step for every active slot -> (next_token [B], keys', kv').
 
     With do_sample=False every slot is argmax and `keys` pass through
     untouched (the common greedy path compiles without the vocab sort).
+
+    `logits_slice=(lo, hi, extra)` (greedy, single-device only) is a LOSSLESS
+    bandwidth cut: every active slot's allow-mask is the interval [lo, hi)
+    plus the optional `extra` column (the dialog stage masks,
+    ops/sampling.stage_allow_mask), so the lm_head matvec only reads those
+    columns — stage C touches 10k of 42k vocab columns, dropping ~260 MB of
+    the per-token weight read.  The argmax is taken inside the slice and
+    shifted back; `allow_masks` is still applied within the slice.
 
     With `tp_axis` set the body runs INSIDE a shard_map over that mesh axis
     (engine.tp): params/kv arrive as per-device shards (heads and ffn split),
@@ -126,6 +135,8 @@ def paged_decode_step(
     the vocab-sharded logits all_gather before masking/sampling — the
     explicit-collective TP serving path (SURVEY §2.3).
     """
+    if logits_slice is not None and (do_sample or tp_axis is not None):
+        raise ValueError("logits_slice requires greedy single-device decode")
     b = tokens.shape[0]
     hd = cfg.head_dim
     # local head counts come from the (possibly sharded) weights, not cfg
@@ -219,7 +230,21 @@ def paged_decode_step(
         (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = (x[:, 0] @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    lm_head = params["lm_head"].astype(x.dtype)
+    if logits_slice is not None:
+        lo, hi, extra = logits_slice
+        logits = (x[:, 0] @ lm_head[:, lo:hi]).astype(jnp.float32)
+        logits = jnp.where(allow_masks[:, lo:hi], logits, NEG_INF)
+        best = jnp.argmax(logits, axis=-1)
+        nxt = (best + lo).astype(jnp.int32)
+        if extra >= 0:  # the stage-C space_id column outside the interval
+            ev = (x[:, 0] @ lm_head[:, extra]).astype(jnp.float32)
+            bv = jnp.take_along_axis(logits, best[:, None], axis=-1)[:, 0]
+            # tie-break matches full-vocab argmax (first index wins)
+            take = ev >= bv if extra < lo else ev > bv
+            nxt = jnp.where(take, jnp.int32(extra), nxt)
+        return jnp.where(active, nxt, 0), keys, kv
+    logits = (x[:, 0] @ lm_head).astype(jnp.float32)
     if tp_axis is not None:  # lm_head is vocab-sharded: assemble full logits
         logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
     logits = jnp.where(allow_masks, logits, NEG_INF)
@@ -234,7 +259,7 @@ def paged_decode_step(
 
 
 @partial(jax.jit, static_argnames=("cfg", "page_size", "do_sample",
-                                   "needs_filter", "tp_axis"),
+                                   "needs_filter", "tp_axis", "logits_slice"),
          donate_argnums=(1,))
 def paged_decode_step_chained(
     params: M.Params,
@@ -255,6 +280,7 @@ def paged_decode_step_chained(
     do_sample: bool = False,
     needs_filter: bool = True,
     tp_axis: Optional[str] = None,
+    logits_slice: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
     """One chained decode step with the EOS-freeze bookkeeping folded in:
     -> (token [B], done' [B], seq_lens' [B], keys', kv').
@@ -264,12 +290,14 @@ def paged_decode_step_chained(
     a single dispatch instead of one decode call plus four elementwise ops
     (the extra dispatches cost ~1 ms/token over the tunnel).  With `tp_axis`
     the body runs inside a shard_map over that mesh axis (engine.tp) — the
-    TP serving path chains links exactly like the single-device one."""
+    TP serving path chains links exactly like the single-device one.
+    `logits_slice`: see paged_decode_step."""
     nxt, keys, kv = paged_decode_step.__wrapped__(
         params, kv, cfg, tokens, seq_lens, page_table,
         jnp.logical_and(active, ~done), allow_masks, page_size,
         keys, top_k, top_p, temperature,
         do_sample=do_sample, needs_filter=needs_filter, tp_axis=tp_axis,
+        logits_slice=logits_slice,
     )
     nxt = jnp.where(done, 0, nxt)
     new_done = jnp.logical_or(done, nxt == eos_ids)
