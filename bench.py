@@ -110,13 +110,15 @@ def bench_e2e():
 
 def bench_pipeline():
     """Time the REAL product path — `UsdmPipeline.respond()` at full 7B/1B
-    geometry with zero weights: XLS-R unit extraction, the 3-stage dialog
-    chain (host templating/regex + chunked prefill + chained paged decode),
-    Voicebox ODE, BigVGAN.  Stage lengths are pinned to the reference's
-    typical response shape (~48 ASR + ~32 text + ~256 unit tokens ~= 5 s of
-    speech) by sampling uniformly over each stage's allowed vocab (zero
-    weights make greedy degenerate; uniform sampling exercises the same
-    compute).
+    geometry: XLS-R unit extraction, the 3-stage dialog chain (host
+    templating/regex + chunked prefill + chained paged decode), Voicebox
+    ODE, BigVGAN.  The LLM gets RANDOM weights and decodes GREEDY like the
+    reference (inference.py:64-82) — zero weights would make greedy
+    degenerate (stage C argmaxes straight to its EOS), and sampling instead
+    would disable the greedy fast tail + sliced lm_head the product path
+    actually runs.  Stage budgets cap lengths at the reference's typical
+    response shape (~48 ASR + ~32 text + ~256 unit tokens ~= 5 s of speech);
+    random logits make an early EOS a <3% tail event per stage.
     """
     import os
     import tempfile
@@ -138,9 +140,10 @@ def bench_pipeline():
     lm_cfg = MistralConfig()
     assert tok.vocab_size == lm_cfg.vocab_size, (tok.vocab_size, lm_cfg.vocab_size)
     # int8 serving mode (the production config, same as bench_e2e); the full
-    # bf16 LM + 1B XLS-R + decoder would exceed one chip's 16 GB
-    lm = _zeros_like_shapes(jax.eval_shape(
-        lambda: quantize_llm_params(M.init_params(lm_cfg, jax.random.PRNGKey(0)))))
+    # bf16 LM + 1B XLS-R + decoder would exceed one chip's 16 GB.  Random
+    # (not zero) weights so greedy decode is non-degenerate — see docstring.
+    lm = jax.jit(lambda: quantize_llm_params(
+        M.init_params(lm_cfg, jax.random.PRNGKey(0))))()
     xl_cfg = XlsrConfig()
     xl = _zeros_like_shapes(
         jax.eval_shape(lambda: XL.init_params(xl_cfg, jax.random.PRNGKey(1))), jnp.bfloat16)
@@ -167,8 +170,7 @@ def bench_pipeline():
     write_wav(wav_path, (np.random.default_rng(0).standard_normal(48000) * 0.1).astype(np.float32), 16000)
 
     def once(seed):
-        policy = BudgetedPolicy(pipe._dialog_server(), tok, top_k=0,
-                                temperature=1.0, seed=seed)
+        policy = BudgetedPolicy(pipe._dialog_server(), tok, seed=seed)  # greedy
         t0 = time.time()
         res = pipe.respond_with_policy(policy, wav_path, n_timesteps=50, seed=seed)
         n_units = len(res.agent_units)
