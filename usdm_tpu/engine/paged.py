@@ -822,6 +822,7 @@ class PagedEngine:
         self._chain_streak += 1
         if rounds < 1:
             return self.step()
+        lslice = self._active_slice(dec, False)
         active = jnp.asarray(dec)
         lens = jnp.asarray(self.seq_lens)
         table, eos, _, _, _ = self._slot_state_dev()
@@ -851,6 +852,7 @@ class PagedEngine:
                         d, lens + i, table, jnp.logical_and(active, ~done),
                         self._allow_dev, self.ecfg.page_size, keys,
                         ones_i, ones_f, ones_f, do_sample=False,
+                        logits_slice=lslice,
                     )
                 if i < k:
                     cols.append(d)
@@ -864,6 +866,7 @@ class PagedEngine:
                 otok, n_emit, cur, done, lens, self.kv = paged_spec_accept(
                     self.params, self.kv, self.cfg, ver_in, lens, done, eos,
                     table, active, self._allow_dev, self.ecfg.page_size, ncp,
+                    logits_slice=lslice,
                 )
             outs.append(otok)
             emits.append(n_emit)

@@ -305,7 +305,8 @@ def paged_decode_step_chained(
     return nxt, new_done, new_lens, keys, kv
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis",
+                                   "logits_slice"),
          donate_argnums=(1,))
 def paged_verify_step(
     params: M.Params,
@@ -319,6 +320,7 @@ def paged_verify_step(
     page_size: int,
     n_ctx_pages: int,  # static bucket: pages gathered as attention context
     tp_axis: Optional[str] = None,  # see paged_decode_step
+    logits_slice: Optional[Tuple[int, int, int]] = None,  # see paged_decode_step
 ) -> Tuple[jnp.ndarray, PagedKV]:
     """Speculative-decoding verification: one target forward over K+1 tokens
     per slot -> greedy argmax at every position ([B, K+1]) and the target KV
@@ -424,7 +426,20 @@ def paged_verify_step(
         (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
     x = M.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    lm_head = params["lm_head"].astype(x.dtype)
+    if logits_slice is not None:  # greedy sliced tail (see paged_decode_step)
+        lo, hi, extra = logits_slice
+        logits = (x @ lm_head[:, lo:hi]).astype(jnp.float32)
+        logits = jnp.where(allow_masks[:, None, lo:hi], logits, NEG_INF)
+        best = jnp.argmax(logits, axis=-1)
+        out = (best + lo).astype(jnp.int32)
+        if extra >= 0:
+            ev = (x @ lm_head[:, extra]).astype(jnp.float32)  # [B, K1]
+            bv = jnp.take_along_axis(logits, best[..., None], axis=-1)[..., 0]
+            take = ev >= bv if extra < lo else ev > bv
+            out = jnp.where(take, jnp.int32(extra), out)
+        return out, kv
+    logits = (x @ lm_head).astype(jnp.float32)
     if tp_axis is not None:  # lm_head is vocab-sharded: assemble full logits
         logits = jax.lax.all_gather(logits, tp_axis, axis=2, tiled=True)
     logits = jnp.where(allow_masks[:, None, :], logits, NEG_INF)
@@ -432,7 +447,8 @@ def paged_verify_step(
     return out, kv
 
 
-@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis",
+                                   "logits_slice"),
          donate_argnums=(1,))
 def paged_spec_accept(
     params: M.Params,
@@ -448,6 +464,7 @@ def paged_spec_accept(
     page_size: int,
     n_ctx_pages: int,
     tp_axis: Optional[str] = None,
+    logits_slice: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, PagedKV]:
     """Verification + ON-DEVICE acceptance for a chained speculative round:
     -> (tokens [B, K+1], n_emit [B], next_cur [B], done' [B], seq_lens' [B],
@@ -463,7 +480,7 @@ def paged_spec_accept(
     live = jnp.logical_and(active, ~done)
     out, kv = paged_verify_step.__wrapped__(
         params, kv, cfg, ver_in, seq_lens, page_table, live, allow_masks,
-        page_size, n_ctx_pages, tp_axis=tp_axis,
+        page_size, n_ctx_pages, tp_axis=tp_axis, logits_slice=logits_slice,
     )
     # accepted prefix: drafts d_j (= ver_in[:, j+1]) matching target out[:, j]
     matches = ver_in[:, 1:] == out[:, :-1]  # [B, K]

@@ -205,7 +205,7 @@ def paged_decode_attention(
     seq_lens: jnp.ndarray,  # [B] int32 valid kv count (incl. current token)
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
-    block_pages: int = 4,
+    block_pages: Optional[int] = None,
     k_scales: Optional[jnp.ndarray] = None,  # [N, Hkv, P] f32 (int8 pools)
     v_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
@@ -223,6 +223,12 @@ def paged_decode_attention(
     quantized = k_scales is not None
     maxp = page_table.shape[1]
     scale = d**-0.5 if scale is None else scale
+    if block_pages is None:
+        # normalize to ~1024 tokens per compute block regardless of page
+        # size (the block-size sweep that picked 1024 ran at p=256; smaller
+        # pages would otherwise get proportionally smaller blocks and pay
+        # the per-block fixed cost more often)
+        block_pages = max(1, 1024 // p)
     # double buffers (k+v [+ scales]) must fit the ~16 MB VMEM alongside
     # q/out blocks: 2 slots * sum(array bytes per block-page) <= ~10 MB
     per_block = 4 * hkv * p * d * k_pages.dtype.itemsize
