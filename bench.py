@@ -225,7 +225,7 @@ def bench_serving(n_clients: int = 8, reqs_per_client: int = 2,
                   prompt_len: int = 384, max_new: int = 128):
     """Serving under load: `n_clients` concurrent threads submit dialog-shaped
     requests through an `EngineServer` over a full-geometry 7B-int8 engine
-    (zero weights; uniform sampling pins the budgets).  Reports aggregate
+    (random weights, greedy decode like the product path).  Reports aggregate
     decode throughput and p50/p95 time-to-first-token — the vLLM serving-
     benchmark analog (reference inference_vllm.py:109)."""
     import threading
@@ -237,8 +237,8 @@ def bench_serving(n_clients: int = 8, reqs_per_client: int = 2,
     from usdm_tpu.models.quant import quantize_llm_params
 
     cfg = MistralConfig()
-    params = _zeros_like_shapes(jax.eval_shape(
-        lambda: quantize_llm_params(M.init_params(cfg, jax.random.PRNGKey(0)))))
+    params = jax.jit(lambda: quantize_llm_params(
+        M.init_params(cfg, jax.random.PRNGKey(0))))()
     ecfg = EngineConfig(page_size=256, max_pages_per_seq=3,
                         max_batch_size=n_clients, prefill_chunk=256)
     eng = PagedEngine(params, cfg, ecfg)
@@ -253,12 +253,12 @@ def bench_serving(n_clients: int = 8, reqs_per_client: int = 2,
             prompt = rng.integers(3, 32000, prompt_len).tolist()
             toks += len(server.generate(
                 prompt, allow, eos_id=2, max_new_tokens=max_new,
-                top_k=0, temperature=1.0, seed=ci * 131 + r, timeout=600))
+                seed=ci * 131 + r, timeout=600))  # greedy
         out[ci] = toks
 
     # warm-up: compile prefill + batched decode shapes once
     server.generate(rng.integers(3, 32000, prompt_len).tolist(), allow,
-                    eos_id=2, max_new_tokens=8, top_k=0, timeout=600)
+                    eos_id=2, max_new_tokens=8, timeout=600)
     done: dict = {}
     threads = [threading.Thread(target=client, args=(i, done))
                for i in range(n_clients)]
