@@ -76,6 +76,23 @@ def main():
         dt = (time.perf_counter() - t0) / n
         name = "bf16" if kv_dtype is None else "int8"
         print(f"decode step (kv={name}): {dt*1e3:.2f} ms  ({1/dt:.1f} tok/s)", flush=True)
+        if kv_dtype is None:
+            # stage-C sliced lm_head variant (lossless greedy tail)
+            def step_sl(kv):
+                nxt, _, kv2 = paged_decode_step(
+                    params, kv, cfg, tok, lens, table, act, am, ps,
+                    keys, i1, f1, f1, logits_slice=(32002, 42003, 31999))
+                return nxt, kv2
+
+            nxt, kv = step_sl(kv)
+            np.asarray(nxt)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                nxt, kv = step_sl(kv)
+            np.asarray(nxt)
+            dt = (time.perf_counter() - t0) / n
+            print(f"decode step (kv={name}, sliced lm_head): {dt*1e3:.2f} ms  "
+                  f"({1/dt:.1f} tok/s)", flush=True)
         del kv
 
     # ---- parts -----------------------------------------------------------
