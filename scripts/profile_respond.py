@@ -64,6 +64,7 @@ def main():
 
     budgets = {STAGE_UNIT2TEXT: 48, STAGE_TEXT2TEXT: 32, STAGE_TEXT2UNIT: 256}
     phases = {}
+    stats_holder = {}
 
     class TimedPolicy(PagedDialogPolicy):
         def _run_stage(self, stage, prompt):
@@ -99,6 +100,7 @@ def main():
         t0 = time.time()
         res = policy.respond_to_units(units)
         record["dialog_total"] = time.time() - t0
+        stats_holder.update(eng_server.engine.stats())
         t0 = time.time()
         audio = pipe.decoder.synthesize(res.agent_units, jax.random.PRNGKey(seed),
                                         n_timesteps=50)
@@ -112,6 +114,7 @@ def main():
     warm = {}
     once(1, warm)
     phases.clear()
+    pipe._dialog_server().engine.perf.clear()
     rec = {}
     once(1, rec)
     pipe.close()
@@ -132,6 +135,7 @@ def main():
     print("\nper-stage detail:")
     for d in phases.get("_detail", []):
         print(" ", d)
+    print("\nengine perf_s:", stats_holder.get("perf_s"))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ Per-request logit masks + stop ids implement the 3-stage dialog constraints
 from __future__ import annotations
 
 import dataclasses
+import time as _time
 from typing import List, Optional
 
 import jax
@@ -226,6 +227,13 @@ class PagedEngine:
         self.total_emitted = 0  # all tokens emitted across requests
         self.total_finished = 0
         self._t0 = __import__("time").time()
+        # wall-time accounting per scheduler phase (stats()["perf_s"]):
+        # where a tick actually spends time on a tunneled chip — dispatch
+        # vs host sync vs scheduler bookkeeping
+        self.perf: dict = {}
+
+    def _acc(self, key: str, dt: float) -> None:
+        self.perf[key] = self.perf.get(key, 0.0) + dt
 
     @property
     def active(self) -> np.ndarray:
@@ -420,7 +428,9 @@ class PagedEngine:
             req.top_k, req.top_p, req.temperature, do_sample=req.sampled,
         )
         self._keys_dev = self._keys_dev.at[slot].set(new_key)
+        t_sync = _time.perf_counter()
         first = int(tok)
+        self._acc("first_tok_sync", _time.perf_counter() - t_sync)
         import time as _t
 
         req.ttft_s = _t.time() - req.t_submit
@@ -465,6 +475,7 @@ class PagedEngine:
             "ttft_mean_s": round(sum(self._ttfts) / len(self._ttfts), 4)
             if self._ttfts else None,
             "ttft_max_s": round(max(self._ttfts), 4) if self._ttfts else None,
+            "perf_s": {k: round(v, 4) for k, v in sorted(self.perf.items())},
         }
 
     def _finish(self, slot: int) -> None:
@@ -569,11 +580,16 @@ class PagedEngine:
         """Admit + one prefill chunk + one decode step.
 
         Returns the number of occupied (prefilling or decoding) slots."""
+        t0 = _time.perf_counter()
         self._try_admit()
+        self._acc("admit", _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         self._prefill_tick()
+        self._acc("prefill", _time.perf_counter() - t0)
         dec = self.status == DECODE
         if not dec.any():
             return int((self.status != FREE).sum())
+        t0 = _time.perf_counter()
         if self.mesh is not None:
             nxt, self._keys_dev, self.kv = self._tp_decode(
                 self.params, self.kv,
@@ -618,7 +634,10 @@ class PagedEngine:
                     zero_keys,
                     ones_i, ones_f, ones_f, do_sample=False,
                 )
+        self._acc("step_dispatch", _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         nxt = np.asarray(nxt)
+        self._acc("step_sync", _time.perf_counter() - t0)
         self.steps += 1
         for slot in range(self.ecfg.max_batch_size):
             if not dec[slot]:
@@ -692,8 +711,12 @@ class PagedEngine:
         the decoding set is unchanged: steady-state pays one sync per
         n_steps tokens, but a request that hits EOS early wastes at most the
         current (short) chain's tail, not a full horizon."""
+        t0 = _time.perf_counter()
         self._try_admit()
+        self._acc("admit", _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         self._prefill_tick()
+        self._acc("prefill", _time.perf_counter() - t0)
         # ramp 8 -> 16 -> 32 ... : each chain link costs ~11.5 ms at 7B-int8
         # but each SYNC costs ~13 ms over a tunneled chip, so short chains are
         # sync-bound; starting at 8 keeps the worst-case EOS overshoot at
@@ -704,6 +727,7 @@ class PagedEngine:
         if not dec.any():
             return int((self.status != FREE).sum())
         n_steps = self._safe_horizon(n_steps, dec)
+        t0 = _time.perf_counter()
         do_sample = self._do_sample()
         needs_filter = self._needs_filter()
         lslice = self._active_slice(dec, do_sample)
@@ -730,13 +754,20 @@ class PagedEngine:
                     logits_slice=lslice,
                 )
             outs.append(tok)
+        self._acc("chain_dispatch", _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
         toks = np.asarray(jnp.stack(outs, axis=1))  # ONE host sync
+        self._acc("chain_sync", _time.perf_counter() - t0)
         self.steps += n_steps
         is_eos = toks == self.eos[:, None]
         any_eos = is_eos.any(axis=1)
         eos_pos = is_eos.argmax(axis=1)
         n_emitted = np.where(dec, np.where(any_eos, eos_pos + 1, n_steps), 0)
-        return self._absorb_multi(dec, toks, n_emitted)
+        t0 = _time.perf_counter()
+        try:
+            return self._absorb_multi(dec, toks, n_emitted)
+        finally:
+            self._acc("absorb", _time.perf_counter() - t0)
 
     def _absorb_multi(self, dec: np.ndarray, toks: np.ndarray, n_emitted: np.ndarray) -> int:
         for slot in range(self.ecfg.max_batch_size):
