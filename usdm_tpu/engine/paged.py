@@ -43,6 +43,7 @@ from usdm_tpu.models import mistral as M
 # Device-side jitted pieces live in paged_ops; re-exported here so existing
 # imports (tests, bench, tp) keep working.
 from usdm_tpu.engine.paged_ops import (  # noqa: F401
+    paged_prefill_chunk_packed,
     PagedKV,
     paged_decode_multi,
     paged_decode_step,
@@ -123,6 +124,13 @@ def _ctx_pages_bucket(n_pages: int, maxp: int) -> int:
     return min(b, maxp) if n_pages <= maxp else maxp
 
 
+@jax.jit
+def _admit_slot_update(allow_dev, keys_dev, slot, mask, key):
+    """One dispatch for the per-admission device-state writes (separate
+    .at[].set() calls each pay a tunnel round trip)."""
+    return allow_dev.at[slot].set(mask), keys_dev.at[slot].set(key)
+
+
 class PagedEngine:
     """Continuous-batching engine over the paged KV pool.
 
@@ -180,6 +188,15 @@ class PagedEngine:
         # per decoded token otherwise)
         self._dev_dirty = True
         self._slot_dev = None  # (table, eos, top_k, top_p, temp)
+        # device copies of per-stage allow masks (the dialog cycles the same
+        # 3 masks forever; re-uploading 42 KB per admission costs a round
+        # trip each time)
+        self._mask_cache: dict = {}
+        # device-resident (tokens, seq_lens) carried between chains: the
+        # previous chain's outputs ARE the next chain's inputs, so steady-
+        # state decode needs no host->device upload at all.  None = host
+        # state changed; re-upload.
+        self._hot = None
         self.slot_req: List[Optional[Request]] = [None] * b
         self.slot_slice: List[Optional[tuple]] = [None] * b  # lm_head slice
         self.slot_pages: List[List[int]] = [[] for _ in range(b)]
@@ -312,11 +329,20 @@ class PagedEngine:
         self.top_p[slot] = req.top_p
         self.temp[slot] = req.temperature
         self.eos[slot] = req.eos_id
-        self._allow_dev = self._allow_dev.at[slot].set(jnp.asarray(req.allow_mask))
         self.slot_slice[slot] = _mask_slice(req.allow_mask)
-        key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
-        self._keys_dev = self._keys_dev.at[slot].set(jnp.asarray(key))
+        mk = req.allow_mask.tobytes()
+        mask_dev = self._mask_cache.get(mk)
+        if mask_dev is None:
+            mask_dev = jnp.asarray(req.allow_mask)
+            if len(self._mask_cache) < 16:
+                self._mask_cache[mk] = mask_dev
+        # threefry PRNGKey(seed) is just [0, seed & 0xffffffff] (x64 off) —
+        # build it host-side instead of a device dispatch + readback
+        key = np.array([0, req.seed & 0xFFFFFFFF], np.uint32)
+        self._allow_dev, self._keys_dev = _admit_slot_update(
+            self._allow_dev, self._keys_dev, slot, mask_dev, key)
         self._dev_dirty = True
+        self._hot = None
 
     def _try_admit(self) -> None:
         """Assign waiting requests to free slots + pages (no compute here).
@@ -373,32 +399,38 @@ class PagedEngine:
             extra = [self.free_pages.pop() for _ in range(need)]
             self._admit_into(req, slot, 0, extra)
 
-    def _prefill_tick(self) -> None:
-        """Advance the oldest prefilling request by one chunk."""
+    def _prefill_tick(self) -> Optional[int]:
+        """Advance the oldest prefilling request by one chunk.  Returns the
+        slot index when this call COMPLETED a prompt (first token sampled),
+        else None."""
         if not self.prefill_order:
-            return
+            return None
         slot = self.prefill_order[0]
         req = self.slot_req[slot]
         start = int(self.prefill_pos[slot])
         n = min(self.ecfg.prefill_chunk, len(req.prompt_ids) - start)
         c = self.ecfg.prefill_chunk
-        ids = np.zeros(c, np.int32)
-        ids[:n] = req.prompt_ids[start : start + n]
         ncp = _ctx_pages_bucket(
             self._pages_needed(start + c), self.ecfg.max_pages_per_seq
         )
+        # every per-chunk input rides ONE upload (tunnel round trip each
+        # otherwise): ids | start | n_valid | page-table row
+        packed = np.empty(c + 2 + self.page_table.shape[1], np.int32)
+        packed[:c] = 0
+        packed[:n] = req.prompt_ids[start : start + n]
+        packed[c] = start
+        packed[c + 1] = n
+        packed[c + 2 :] = self.page_table[slot]
         if self.mesh is not None:
             logits, self.kv = self._tp_prefill(
                 self.params, self.kv,
-                jnp.asarray(ids), jnp.asarray(start, jnp.int32),
+                jnp.asarray(packed[:c]), jnp.asarray(start, jnp.int32),
                 jnp.asarray(n, jnp.int32), jnp.asarray(self.page_table[slot]), ncp,
             )
         else:
-            logits, self.kv = paged_prefill_chunk(
-                self.params, self.kv, self.cfg,
-                jnp.asarray(ids), jnp.asarray(start, jnp.int32), jnp.asarray(n, jnp.int32),
-                jnp.asarray(self.page_table[slot]),
-                self.ecfg.page_size, ncp,
+            logits, self.kv = paged_prefill_chunk_packed(
+                self.params, self.kv, self.cfg, jnp.asarray(packed),
+                self.ecfg.page_size, ncp, c,
             )
         if self.draft_params is not None:
             # the draft model prefills the same chunk into ITS pool — without
@@ -408,19 +440,17 @@ class PagedEngine:
             if self.mesh is not None:
                 _, self.draft_kv = self._tp_prefill_draft(
                     self.draft_params, self.draft_kv,
-                    jnp.asarray(ids), jnp.asarray(start, jnp.int32),
+                    jnp.asarray(packed[:c]), jnp.asarray(start, jnp.int32),
                     jnp.asarray(n, jnp.int32), jnp.asarray(self.page_table[slot]), ncp,
                 )
             else:
-                _, self.draft_kv = paged_prefill_chunk(
+                _, self.draft_kv = paged_prefill_chunk_packed(
                     self.draft_params, self.draft_kv, self.draft_cfg,
-                    jnp.asarray(ids), jnp.asarray(start, jnp.int32), jnp.asarray(n, jnp.int32),
-                    jnp.asarray(self.page_table[slot]),
-                    self.ecfg.page_size, ncp,
+                    jnp.asarray(packed), self.ecfg.page_size, ncp, c,
                 )
         self.prefill_pos[slot] = start + n
         if start + n < len(req.prompt_ids):
-            return  # more chunks to go; logits discarded
+            return None  # more chunks to go; logits discarded
         # prompt complete: sample the first generated token
         self.prefill_order.pop(0)
         tok, new_key = sample_next(
@@ -439,8 +469,10 @@ class PagedEngine:
         self.seq_lens[slot] = len(req.prompt_ids)
         self.tokens[slot] = first
         self.status[slot] = DECODE
+        self._hot = None
         if first == req.eos_id or len(req.output_ids) >= req.max_new_tokens:
             self._finish(slot)
+        return slot
 
     def _slot_state_dev(self):
         """(table, eos, top_k, top_p, temp) device arrays, re-uploaded only
@@ -481,6 +513,7 @@ class PagedEngine:
     def _finish(self, slot: int) -> None:
         req = self.slot_req[slot]
         self._chain_streak = 0
+        self._hot = None
         if req is not None:
             req.finished = True
             self.total_finished += 1
@@ -576,18 +609,28 @@ class PagedEngine:
         return slices.pop() if len(slices) == 1 else None
 
     # ------------------------------------------------------------------ run
-    def step(self) -> int:
+    def step(self, _defer_chain: bool = False) -> int:
         """Admit + one prefill chunk + one decode step.
 
-        Returns the number of occupied (prefilling or decoding) slots."""
+        Returns the number of occupied (prefilling or decoding) slots.
+        `_defer_chain` is set only by tick(): when this step's prefill chunk
+        drains the queue, skip the per-token-sync decode and let the next
+        tick run a chained decode instead.  Direct callers keep the
+        one-token-per-step contract."""
         t0 = _time.perf_counter()
         self._try_admit()
         self._acc("admit", _time.perf_counter() - t0)
         t0 = _time.perf_counter()
-        self._prefill_tick()
+        done_slot = self._prefill_tick()
         self._acc("prefill", _time.perf_counter() - t0)
         dec = self.status == DECODE
         if not dec.any():
+            return int((self.status != FREE).sum())
+        if (_defer_chain and done_slot is not None and not self.prefill_order
+                and not self.waiting and self.decode_horizon > 1
+                and self.draft_params is None):
+            # the queue just drained: let the next tick run a CHAINED decode
+            # instead of paying this step's per-token host sync
             return int((self.status != FREE).sum())
         t0 = _time.perf_counter()
         if self.mesh is not None:
@@ -656,6 +699,7 @@ class PagedEngine:
                 self._finish(slot)
             else:
                 self._reclaim_window(slot)
+        self._hot = None
         return int((self.status != FREE).sum())
 
     def _safe_horizon(self, n_steps: int, dec: np.ndarray) -> int:
@@ -697,6 +741,7 @@ class PagedEngine:
         toks = np.asarray(toks)
         n_emitted = np.asarray(n_emitted)
         self.steps += n_steps
+        self._hot = None
         return self._absorb_multi(dec, toks, n_emitted)
 
     def step_chain(self, n_steps: int) -> int:
@@ -731,8 +776,11 @@ class PagedEngine:
         do_sample = self._do_sample()
         needs_filter = self._needs_filter()
         lslice = self._active_slice(dec, do_sample)
-        tok = jnp.asarray(self.tokens)
-        lens = jnp.asarray(self.seq_lens)
+        if self._hot is not None:
+            tok, lens = self._hot  # previous chain's device outputs
+        else:
+            tok = jnp.asarray(self.tokens)
+            lens = jnp.asarray(self.seq_lens)
         table, eos, tk, tp_, tmp = self._slot_state_dev()
         active = jnp.asarray(dec)
         done = ~active
@@ -754,6 +802,7 @@ class PagedEngine:
                     logits_slice=lslice,
                 )
             outs.append(tok)
+        self._hot = (tok, lens)
         self._acc("chain_dispatch", _time.perf_counter() - t0)
         t0 = _time.perf_counter()
         toks = np.asarray(jnp.stack(outs, axis=1))  # ONE host sync
@@ -920,6 +969,7 @@ class PagedEngine:
                 flat[slot, int(total[slot]): int(total[slot]) + n] = toks[slot, r, :n]
                 total[slot] += n
             self.spec_emitted += int(total[slot])
+        self._hot = None
         return self._absorb_multi(dec, flat, total)
 
     def tick(self) -> int:
@@ -928,7 +978,9 @@ class PagedEngine:
         applicable, multi-token (chained) decode otherwise — single-device
         and TP take the same paths (TP chains shard_map'd links)."""
         if self.waiting or self.prefill_order:
-            return self.step()  # keep admitting/prefilling while a queue exists
+            # keep admitting/prefilling while a queue exists; if this step's
+            # chunk drains the queue, defer decode to next tick's chain
+            return self.step(_defer_chain=True)
         if self._can_spec():
             return self.step_spec()
         if self.draft_params is not None:

@@ -640,6 +640,29 @@ def paged_prefill_chunk(
     return logits, kv
 
 
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "c"),
+         donate_argnums=(1,))
+def paged_prefill_chunk_packed(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    packed: jnp.ndarray,  # [c + 2 + maxp] int32: ids | start | n_valid | table row
+    page_size: int,
+    n_ctx_pages: int,
+    c: int,
+) -> Tuple[jnp.ndarray, PagedKV]:
+    """paged_prefill_chunk with every per-chunk host input in ONE int32
+    array: each jnp.asarray upload pays a tunnel round trip (~3-10 ms on a
+    remote chip), so the four per-chunk arguments are packed host-side and
+    sliced apart inside the jit."""
+    ids = packed[:c]
+    start = packed[c]
+    n_valid = packed[c + 1]
+    row = packed[c + 2 :]
+    return paged_prefill_chunk.__wrapped__(
+        params, kv, cfg, ids, start, n_valid, row, page_size, n_ctx_pages)
+
+
 @partial(jax.jit, static_argnames=("do_sample",))
 def sample_next(
     logits: jnp.ndarray,  # [V] f32 unmasked
