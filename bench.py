@@ -301,12 +301,9 @@ def main():
         print(json.dumps(out))
         return
     gc.collect()
-    try:  # component proxy (prefill+decode slice + decoder, extrapolated)
-        proxy, _ = bench_e2e()
-        out["component_proxy_rtf"] = round(proxy, 4)
-    except Exception as e:
-        out["component_proxy_error"] = f"{type(e).__name__}: {e}"[:200]
-    gc.collect()
+    # (the round-2 component proxy is gone: the REAL path now beats it, and
+    # running both back-to-back fragments HBM enough to contaminate whichever
+    # goes second; bench_e2e stays as the fallback above)
     try:  # serving under concurrent load (total tok/s + TTFT percentiles)
         out["serving"] = bench_serving()
     except Exception as e:
