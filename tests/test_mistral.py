@@ -153,6 +153,33 @@ def test_loss_matches_torch_ce(models):
     assert abs(float(loss) - ref) < 2e-4
 
 
+def test_chunked_ce_matches_unchunked(models):
+    """The seq-chunked cross-entropy (lm_head projected per ce_chunk tokens
+    under jax.checkpoint, so [T, vocab] logits never materialize) must be
+    numerically identical to the unchunked loss — value AND gradients,
+    including a chunk-size that doesn't divide T-1 (pad path)."""
+    _, params = models
+    rng = np.random.default_rng(9)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, size=(2, 23)), jnp.int32)
+    labels = np.asarray(rng.integers(0, CFG.vocab_size, size=(2, 23)), np.int32)
+    labels[0, :6] = -100
+    labels[1, 15:] = -100
+    labels = jnp.asarray(labels)
+    with jax.default_matmul_precision("highest"):
+        l0, a0 = M.loss_fn(params, CFG, ids, labels, attn_impl="xla",
+                           remat=False, ce_chunk=0)
+        l1, a1 = M.loss_fn(params, CFG, ids, labels, attn_impl="xla",
+                           remat=False, ce_chunk=8)  # 22 tokens -> pad to 24
+        g0 = jax.grad(lambda p: M.loss_fn(p, CFG, ids, labels, attn_impl="xla",
+                                          remat=False, ce_chunk=0)[0])(params)
+        g1 = jax.grad(lambda p: M.loss_fn(p, CFG, ids, labels, attn_impl="xla",
+                                          remat=False, ce_chunk=8)[0])(params)
+    assert int(a0["ntokens"]) == int(a1["ntokens"])
+    assert abs(float(l0) - float(l1)) < 1e-5
+    for x, y in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
 def test_extend_embeddings():
     key = jax.random.PRNGKey(0)
     params = M.init_params(CFG, key, dtype="float32")

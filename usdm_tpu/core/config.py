@@ -281,6 +281,9 @@ class TrainConfig(_Base):
     dp: int = 1         # data-parallel (FSDP-sharded) axis size
     tp: int = 1         # tensor-parallel axis size
     remat: bool = True  # jax.checkpoint each decoder layer
+    # lm_head + CE computed per ce_chunk tokens (jax.checkpoint'd) so the
+    # full [T, vocab] f32 logits never materialize; 0 = unchunked
+    ce_chunk: int = 1024
     # checkpointing
     save_every: int = 1000
     keep_checkpoints: int = 2

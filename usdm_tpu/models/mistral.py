@@ -180,6 +180,25 @@ def forward(
     them via the BOS cummax trick, train_pt.py:49-58); `segment_ids` isolate
     subsamples exactly like subsample_start_idx->cu_seqlens did.
     """
+    x = forward_hidden(params, cfg, input_ids, segment_ids, positions,
+                       attn_impl, remat, lora)
+    logits = x @ params["lm_head"].astype(x.dtype)
+    return logits.astype(jnp.float32)
+
+
+def forward_hidden(
+    params: Params,
+    cfg: MistralConfig,
+    input_ids: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    lora: Optional[Params] = None,
+) -> jnp.ndarray:
+    """`forward` up to (and including) the final norm — [B, T, H] hidden,
+    before the lm_head projection.  The training loss projects chunk-by-chunk
+    (see `loss_fn`) so the full [T, vocab] f32 logits never materialize."""
     b, t = input_ids.shape
     if segment_ids is None:
         segment_ids = jnp.zeros((b, t), jnp.int32)
@@ -198,9 +217,7 @@ def forward(
         return layer_fn(x, lp, cos, sin, segment_ids, positions, lw=lw), None
 
     x, _ = jax.lax.scan(body, x, (params["layers"], {} if lora is None else lora))
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    logits = x @ params["lm_head"].astype(x.dtype)
-    return logits.astype(jnp.float32)
+    return rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
 
 def loss_fn(
@@ -213,17 +230,53 @@ def loss_fn(
     attn_impl: str = "auto",
     remat: bool = True,
     lora: Optional[Params] = None,
+    ce_chunk: int = 1024,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Shifted mean cross-entropy, matching model.py:124-135."""
-    logits = forward(params, cfg, input_ids, segment_ids, positions, attn_impl, remat, lora)
-    shift_logits = logits[:, :-1]
+    """Shifted mean cross-entropy, matching model.py:124-135.
+
+    The lm_head projection + log-softmax run in `ce_chunk`-token sequence
+    chunks under jax.checkpoint: the full [T, vocab] f32 logits (4 GB at
+    7B/8192, ~12 bytes/element through fwd+bwd as measured by
+    scripts/validate_memory_budget.py) never materialize — peak logits
+    temps drop to one chunk's.  Identical numerics (log_softmax is
+    per-token); ce_chunk=0 restores the unchunked path."""
+    hidden = forward_hidden(params, cfg, input_ids, segment_ids, positions,
+                            attn_impl, remat, lora)
+    sh = hidden[:, :-1]
     shift_labels = labels[:, 1:]
     valid = shift_labels != -100
     safe_labels = jnp.where(valid, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    tok_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     n = jnp.maximum(valid.sum(), 1)
-    loss = -(tok_ll * valid).sum() / n
+    w = params["lm_head"].astype(sh.dtype)
+
+    b, t1, h = sh.shape
+    if not ce_chunk or t1 <= ce_chunk:
+        logits = (sh @ w).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+        loss = -(tok_ll * valid).sum() / n
+        return loss, {"loss": loss, "ntokens": valid.sum()}
+
+    pad = (-t1) % ce_chunk
+    nc = (t1 + pad) // ce_chunk
+    shp = jnp.pad(sh, ((0, 0), (0, pad), (0, 0)))
+    lbp = jnp.pad(safe_labels, ((0, 0), (0, pad)))
+    vdp = jnp.pad(valid, ((0, 0), (0, pad)))
+    # chunk axis leading so lax.map scans over it
+    shc = shp.reshape(b, nc, ce_chunk, h).swapaxes(0, 1)
+    lbc = lbp.reshape(b, nc, ce_chunk).swapaxes(0, 1)
+    vdc = vdp.reshape(b, nc, ce_chunk).swapaxes(0, 1)
+
+    @jax.checkpoint
+    def chunk_ll(args):
+        hc, lc, vc = args
+        logits = (hc @ w).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.take_along_axis(logp, lc[..., None], axis=-1)[..., 0]
+        return (tok * vc).sum()
+
+    sums = jax.lax.map(chunk_ll, (shc, lbc, vdc))
+    loss = -sums.sum() / n
     return loss, {"loss": loss, "ntokens": valid.sum()}
 
 

@@ -247,7 +247,7 @@ def make_offload_train_step(
         return M.loss_fn(
             p_c, cfg, batch["input_ids"], batch["labels"],
             batch.get("segment_ids"), batch.get("positions"),
-            attn_impl=attn_impl, remat=tc.remat,
+            attn_impl=attn_impl, remat=tc.remat, ce_chunk=tc.ce_chunk,
         )
 
     def step(state: TrainState, batch):
@@ -293,7 +293,7 @@ def make_train_step(
             p_c, cfg,
             batch["input_ids"], batch["labels"],
             batch.get("segment_ids"), batch.get("positions"),
-            attn_impl=attn_impl, remat=tc.remat,
+            attn_impl=attn_impl, remat=tc.remat, ce_chunk=tc.ce_chunk,
         )
 
     def step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -322,6 +322,7 @@ def memory_budget(
     batch_per_chip: int = 1,
     offload: bool = False,
     hbm_gb: float = 16.0,
+    ce_chunk: int = 1024,
 ) -> Dict[str, float]:
     """Per-chip training memory arithmetic (GB) for the FSDP/TP layout.
 
@@ -330,6 +331,14 @@ def memory_budget(
     16 GB HBM, so this is the fits/doesn't-fit check behind
     `make_offload_train_step`.  Documented in docs/MEMORY.md; asserted by
     __graft_entry__.dryrun_multichip.
+
+    Calibrated against `compiled.memory_analysis()` on the real chip
+    (scripts/validate_memory_budget.py): logits carry ~12 bytes/element
+    through fwd+bwd (f32 logits + grad + softmax temps), and with the
+    seq-chunked cross-entropy (models.mistral.loss_fn ce_chunk) only one
+    chunk's logits are ever live; per-layer temps are the modeled
+    grads + bf16 copy + 2-byte activation checkpoints.  The model tracks
+    XLA within ~15% (conservative side) across layer/seq sweeps.
     """
     axis_size = {"data": dp, "model": tp}
 
@@ -352,9 +361,12 @@ def memory_budget(
     grads = masters                                    # f32 grads, same layout
     moments = 2.0 * masters                            # Adam m + v
     bf16_copy = masters / 2.0                          # cast tree for compute
-    # remat checkpoints one hidden per layer + logits fwd/bwd in f32+bf16
+    # remat checkpoints one hidden per layer (bf16); logits are ~12 B/elem
+    # through fwd+bwd (measured), but the chunked CE keeps only one
+    # ce_chunk-token slice of them live at a time
     acts = cfg.num_layers * batch_per_chip * seq_len * cfg.hidden_size * 2 * gb
-    logits = batch_per_chip * seq_len * cfg.vocab_size * 6 * gb
+    logits_tokens = min(seq_len, ce_chunk) if ce_chunk else seq_len
+    logits = batch_per_chip * logits_tokens * cfg.vocab_size * 12 * gb
     # offload streams one leaf's moments at a time: m+v+update of the largest
     streamed = 3 * max(shard_bytes) * gb if offload else 0.0
 
@@ -386,7 +398,7 @@ def make_eval_step(cfg: MistralConfig, tc: TrainConfig, mesh: Mesh, attn_impl: s
         loss, aux = M.loss_fn(
             p_c, cfg, batch["input_ids"], batch["labels"],
             batch.get("segment_ids"), batch.get("positions"),
-            attn_impl=attn_impl, remat=False,
+            attn_impl=attn_impl, remat=False, ce_chunk=tc.ce_chunk,
         )
         return {"loss": loss, "ntokens": aux["ntokens"]}
 
