@@ -57,13 +57,28 @@ def main():
     from usdm_tpu.models.quant import early_exit_draft, quantize_llm_params
 
     cfg = MistralConfig()
+
     # RANDOM weights (not zeros): argmax disagreement between independently
-    # initialized models is real, so rejection paths actually execute
-    params = quantize_llm_params(M.init_params(cfg, jax.random.PRNGKey(0)))
+    # initialized models is real, so rejection paths actually execute.
+    # Leaves are synthesized host-side from the quantized tree's shapes —
+    # init_params would materialize the f32 7B tree on-device (28 GB > HBM).
+    def random_quantized(c, seed):
+        shapes = jax.eval_shape(
+            lambda: quantize_llm_params(M.init_params(c, jax.random.PRNGKey(0))))
+        rng = np.random.default_rng(seed)
+
+        def fill(s):
+            if s.dtype == jnp.int8:
+                return jnp.asarray(rng.integers(-127, 128, s.shape, np.int8))
+            return jnp.asarray(
+                rng.standard_normal(s.shape, np.float32) * 0.02, s.dtype)
+
+        return jax.tree.map(fill, shapes)
+
+    params = random_quantized(cfg, 0)
     small_cfg = cfg.replace(num_layers=4)
     draft_same4 = (early_exit_draft(params, 4), small_cfg)
-    draft_rand = (quantize_llm_params(M.init_params(small_cfg, jax.random.PRNGKey(7))),
-                  small_cfg)
+    draft_rand = (random_quantized(small_cfg, 7), small_cfg)
 
     run_one("plain chained (no draft)", params, cfg, None)
     run_one("early-exit:4 self-draft", params, cfg, draft_same4)
