@@ -82,6 +82,70 @@ def test_serve_http_concurrent_paged(user_wav):
         eng_server.close()
 
 
+def test_serve_http_sse_stream(user_wav):
+    """POST /respond?stream=1 returns Server-Sent Events: per-chain `stage`
+    progress (text2text events carry the agent-text preview) and a final
+    `result` event identical to the non-streaming JSON for the same seed."""
+    from http.server import ThreadingHTTPServer
+
+    from usdm_tpu.cli.serve import make_handler
+    from usdm_tpu.core.config import EngineConfig
+    from usdm_tpu.pipeline import UsdmPipeline
+
+    pipe = UsdmPipeline.tiny_random()
+    eng_server = pipe.make_server(EngineConfig(
+        page_size=32, max_pages_per_seq=64, max_batch_size=4, prefill_chunk=256))
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(pipe, eng_server, n_timesteps=2))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = open(user_wav, "rb").read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/respond?stream=1&seed=5",
+            data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            raw = r.read().decode()
+        events = []
+        for block in raw.split("\n\n"):
+            lines = dict(line.split(": ", 1) for line in block.splitlines() if ": " in line)
+            if "event" in lines:
+                events.append((lines["event"], json.loads(lines["data"])))
+        kinds = [k for k, _ in events]
+        assert kinds[-1] == "result" and "stage" in kinds[:-1]
+        stages = [d["stage"] for k, d in events if k == "stage"]
+        assert stages[0] == "unit2text" and "text2unit" in stages
+        text_previews = [d["text"] for k, d in events
+                         if k == "stage" and d["stage"] == "text2text"]
+        assert text_previews and all(isinstance(t, str) for t in text_previews)
+        streamed_result = events[-1][1]
+
+        # the non-streaming endpoint with the same wav + seed agrees
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/respond?seed=5", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            plain = json.loads(r.read())
+        assert streamed_result == plain
+
+        # stream=1 on the dense path is a clean 400
+        dense_srv = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(pipe, None, n_timesteps=2))
+        dport = dense_srv.server_address[1]
+        threading.Thread(target=dense_srv.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{dport}/respond?stream=1", data=body, method="POST")
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                urllib.request.urlopen(req, timeout=60)
+            assert exc.value.code == 400
+        finally:
+            dense_srv.shutdown()
+    finally:
+        server.shutdown()
+        eng_server.close()
+
+
 def test_serve_http_dense_fallback(user_wav):
     """--dense path (server=None) still serves one request at a time."""
     from http.server import ThreadingHTTPServer

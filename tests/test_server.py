@@ -61,6 +61,67 @@ def test_server_rejects_after_close(params):
     server.close()
     with pytest.raises(RuntimeError):
         server.generate([3, 4, 5], np.ones(CFG.vocab_size, bool), 1, 4)
+    with pytest.raises(RuntimeError):
+        list(server.generate_stream([3, 4, 5], np.ones(CFG.vocab_size, bool), 1, 4))
+
+
+def test_generate_stream_matches_generate(params, rng):
+    """The streaming generator's concatenated yields equal generate()'s
+    return, arrive progressively (more than one yield for a long decode),
+    and the request is cleaned up from the server's tables afterwards."""
+    prompt = rng.integers(3, 96, size=9).tolist()
+    allow = np.ones(CFG.vocab_size, bool)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ECFG)
+        server = EngineServer(eng)
+        try:
+            plain = server.generate(prompt, allow, eos_id=1, max_new_tokens=24)
+            yields = list(server.generate_stream(
+                prompt, allow, eos_id=1, max_new_tokens=24, timeout=300))
+        finally:
+            server.close()
+    assert sum(yields, []) == plain
+    assert all(len(d) > 0 for d in yields)
+    if len(plain) > 8:  # chains ramp 4->8->..., so a long decode yields >1 batch
+        assert len(yields) >= 2
+    assert not server._reqs and not server._events
+
+
+def test_dialog_policy_streams_progress(rng):
+    """on_tokens sees all three stages in order and every decoded token; the
+    result is identical to a non-streaming policy run."""
+    from usdm_tpu.core.tokenizer import UsdmTokenizer
+
+    tok = UsdmTokenizer.build_test(num_units=32)
+    cfg = MistralConfig.tiny(vocab_size=tok.vocab_size)
+    prm = M.init_params(cfg, jax.random.PRNGKey(1), dtype="float32")
+    units = rng.integers(0, 32, size=12).tolist()
+    ecfg = EngineConfig(page_size=32, max_pages_per_seq=32, max_batch_size=2,
+                        prefill_chunk=64)
+
+    deltas = []
+    with jax.default_matmul_precision("highest"):
+        server = EngineServer(PagedEngine(prm, cfg, ecfg))
+        plain = PagedDialogPolicy(server, tok, max_new_tokens=12).respond_to_units(units)
+        streamed = PagedDialogPolicy(
+            server, tok, max_new_tokens=12,
+            on_tokens=lambda stage, ids: deltas.append((stage, list(ids))),
+        ).respond_to_units(units)
+        server.close()
+
+    assert streamed.stage_tokens == plain.stage_tokens
+    assert streamed.agent_text == plain.agent_text
+    assert streamed.agent_units == plain.agent_units
+    # stages appear in dialog order, each delta non-empty, and the per-stage
+    # concatenation is exactly that stage's decoded tokens
+    stages_seen = [s for s, _ in deltas]
+    order = [s for i, s in enumerate(stages_seen) if i == 0 or s != stages_seen[i - 1]]
+    assert order == ["unit2text", "text2text", "text2unit"]
+    per_stage = {}
+    for s, ids in deltas:
+        assert ids
+        per_stage.setdefault(s, []).extend(ids)
+    assert per_stage == streamed.stage_tokens
 
 
 def test_paged_dialog_policy_matches_dense(params, rng):

@@ -13,6 +13,12 @@ on one chip instead of queuing behind a lock.  Endpoints:
                    streamlit_demo.py:96-205) or raw wav body -> JSON
                    {user_text, agent_text, n_units, audio_b64};
                    ?audio=1 returns the raw wav instead.
+                   ?stream=1 returns Server-Sent Events instead (paged engine
+                   only): `stage` events carry per-chain decode progress (the
+                   text2text events include the agent text so far — the vLLM
+                   streaming analog), then one `result` event with the final
+                   JSON above.  Errors after the stream opens arrive as an
+                   `error` event.
                    Query params: top_k, top_p, temperature, seed, n_timesteps
   GET  /health     liveness probe
   GET  /stats     engine telemetry JSON (tokens, slots, pool, speculation)
@@ -173,44 +179,22 @@ def make_handler(pipe, server, n_timesteps: int):
 
             steps = _qnum(q, "n_timesteps", int, n_timesteps)
             seed = _qnum(q, "seed", int, 0)
+            stream = bool(_qnum(q, "stream", int, 0))
+            if stream and server is None:
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(
+                    {"error": "stream=1 requires the paged engine (not --dense)"}
+                ).encode())
+                return
+            if stream:
+                self._respond_stream(q, in_path, out_path, ref_path, steps, seed)
+                return
             try:
                 if server is not None:
-                    policy = PagedDialogPolicy(
-                        server, pipe.tokenizer,
-                        max_new_tokens=pipe.max_new_tokens,
-                        top_k=_qnum(q, "top_k", int, 1),
-                        top_p=_qnum(q, "top_p", float, 1.0),
-                        temperature=_qnum(q, "temperature", float, 1.0),
-                        seed=seed,
-                    )
-                    # LLM stages continuous-batch across threads; unit
-                    # extraction and synthesis serialize on their locks.
-                    from usdm_tpu.audio.wav import load_wav
-
-                    wav, _ = load_wav(in_path, sr=pipe.xlsr_cfg.sample_rate)
-                    reference = None
-                    with xlsr_lock:
-                        units = pipe.extract_units(wav)
-                        if ref_path is not None:
-                            # speaker adaptation via a reference prompt
-                            # (streamlit_demo.py:96-205); XLS-R inside the lock
-                            from usdm_tpu.engine.synthesis import prepare_reference
-
-                            reference = prepare_reference(
-                                ref_path, pipe.xlsr_params, pipe.xlsr_cfg,
-                                pipe.decoder.mel_cfg)
-                    result = policy.respond_to_units(units)
-                    if result.agent_units:
-                        import jax
-
-                        with synth_lock:
-                            audio = pipe.decoder.synthesize(
-                                result.agent_units, jax.random.PRNGKey(seed),
-                                reference=reference, n_timesteps=steps,
-                            )
-                        from usdm_tpu.audio.wav import write_wav
-
-                        write_wav(out_path, audio, pipe.decoder.mel_cfg.sampling_rate)
+                    result = self._run_paged_turn(
+                        q, in_path, out_path, ref_path, steps, seed)
                 else:
                     with dense_lock:  # --dense: one request at a time
                         result = pipe.respond(
@@ -227,16 +211,7 @@ def make_handler(pipe, server, n_timesteps: int):
                 self.wfile.write(json.dumps({"error": str(e)}).encode())
                 return
 
-            import base64
-            import os
-
-            audio_bytes = b""
-            if result.agent_units and os.path.exists(out_path):
-                with open(out_path, "rb") as f:
-                    audio_bytes = f.read()
-            for p in (in_path, out_path, ref_path):
-                if p and os.path.exists(p):
-                    os.unlink(p)
+            audio_bytes = self._collect_audio(result, in_path, out_path, ref_path)
             if "audio=1" in (url.query or "") and result.agent_units:
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
@@ -251,14 +226,118 @@ def make_handler(pipe, server, n_timesteps: int):
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
-                self.wfile.write(json.dumps({
-                    "user_text": result.user_text,
-                    "agent_text": result.agent_text,
-                    "n_units": len(result.agent_units),
-                    "audio_b64": base64.b64encode(audio_bytes).decode(),
-                }).encode())
+                self.wfile.write(json.dumps(
+                    _result_json(result, audio_bytes)).encode())
+
+        # ------------------------------------------------------ paged helpers
+        def _run_paged_turn(self, q, in_path, out_path, ref_path, steps, seed,
+                            on_tokens=None):
+            """One dialog turn through the shared engine: unit extraction,
+            3-stage decode (optionally streaming progress via `on_tokens`),
+            synthesis to `out_path`.  LLM stages continuous-batch across
+            threads; unit extraction and synthesis serialize on their locks."""
+            import jax
+
+            from usdm_tpu.audio.wav import load_wav, write_wav
+
+            policy = PagedDialogPolicy(
+                server, pipe.tokenizer,
+                max_new_tokens=pipe.max_new_tokens,
+                top_k=_qnum(q, "top_k", int, 1),
+                top_p=_qnum(q, "top_p", float, 1.0),
+                temperature=_qnum(q, "temperature", float, 1.0),
+                seed=seed,
+                on_tokens=on_tokens,
+            )
+            wav, _ = load_wav(in_path, sr=pipe.xlsr_cfg.sample_rate)
+            reference = None
+            with xlsr_lock:
+                units = pipe.extract_units(wav)
+                if ref_path is not None:
+                    # speaker adaptation via a reference prompt
+                    # (streamlit_demo.py:96-205); XLS-R inside the lock
+                    from usdm_tpu.engine.synthesis import prepare_reference
+
+                    reference = prepare_reference(
+                        ref_path, pipe.xlsr_params, pipe.xlsr_cfg,
+                        pipe.decoder.mel_cfg)
+            result = policy.respond_to_units(units)
+            if result.agent_units:
+                with synth_lock:
+                    audio = pipe.decoder.synthesize(
+                        result.agent_units, jax.random.PRNGKey(seed),
+                        reference=reference, n_timesteps=steps,
+                    )
+                write_wav(out_path, audio, pipe.decoder.mel_cfg.sampling_rate)
+            return result
+
+        def _respond_stream(self, q, in_path, out_path, ref_path, steps, seed):
+            """?stream=1: Server-Sent Events.  Emits a `stage` event per
+            synced decode chain (text2text events carry the decoded agent
+            text so far — a live preview; the `result` event is
+            authoritative, post template-strip), then `result`, then closes.
+            A vanished client stops event writes but the turn completes."""
+            from usdm_tpu.ops.sampling import STAGE_TEXT2TEXT
+
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            gone = False
+            text_ids: list = []
+
+            def emit(event, obj):
+                nonlocal gone
+                if gone:
+                    return
+                try:
+                    self.wfile.write(
+                        f"event: {event}\ndata: {json.dumps(obj)}\n\n".encode())
+                    self.wfile.flush()
+                except OSError:
+                    gone = True  # client went away; finish the turn quietly
+
+            def on_tokens(stage, delta):
+                payload = {"stage": stage, "n_new": len(delta)}
+                if stage == STAGE_TEXT2TEXT:
+                    text_ids.extend(delta)
+                    payload["text"] = pipe.tokenizer.decode(text_ids)
+                emit("stage", payload)
+
+            try:
+                result = self._run_paged_turn(
+                    q, in_path, out_path, ref_path, steps, seed, on_tokens)
+            except Exception as e:  # noqa: BLE001
+                emit("error", {"error": str(e)})
+                return
+            audio_bytes = self._collect_audio(result, in_path, out_path, ref_path)
+            emit("result", _result_json(result, audio_bytes))
+
+        def _collect_audio(self, result, in_path, out_path, ref_path) -> bytes:
+            import os
+
+            audio_bytes = b""
+            if result.agent_units and os.path.exists(out_path):
+                with open(out_path, "rb") as f:
+                    audio_bytes = f.read()
+            for p in (in_path, out_path, ref_path):
+                if p and os.path.exists(p):
+                    os.unlink(p)
+            return audio_bytes
 
     return Handler
+
+
+def _result_json(result, audio_bytes: bytes) -> dict:
+    import base64
+
+    return {
+        "user_text": result.user_text,
+        "agent_text": result.agent_text,
+        "n_units": len(result.agent_units),
+        "audio_b64": base64.b64encode(audio_bytes).decode(),
+    }
 
 
 def main(argv=None) -> int:

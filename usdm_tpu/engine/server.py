@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import itertools
 import threading
-from typing import Dict, List, Optional
+import time
+from typing import Callable, Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -66,23 +67,9 @@ class EngineServer:
 
         `session` (from `new_session()`) chains requests for KV prefix reuse;
         call `release_session` when the conversation ends."""
-        rid = next(self._ids)
-        req = Request(
-            rid, list(prompt_ids), allow_mask, eos_id, max_new_tokens,
-            top_k=top_k, top_p=top_p, temperature=temperature, seed=seed,
-            session=session,
-        )
-        ev = threading.Event()
-        import time as _t
-
-        req.t_submit = _t.time()  # TTFT clock starts at caller submit time
-        with self._cv:
-            if not self._running:
-                raise RuntimeError("EngineServer is closed")
-            self._events[rid] = ev
-            self._reqs[rid] = req
-            self._inbox.append(req)
-            self._cv.notify_all()
+        rid, req = self._submit(prompt_ids, allow_mask, eos_id, max_new_tokens,
+                                top_k, top_p, temperature, seed, session)
+        ev = self._events[rid]
         if not ev.wait(timeout):
             raise TimeoutError(f"request {rid} timed out after {timeout}s")
         with self._cv:
@@ -91,6 +78,70 @@ class EngineServer:
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.output_ids
+
+    def generate_stream(
+        self,
+        prompt_ids: List[int],
+        allow_mask: np.ndarray,
+        eos_id: int,
+        max_new_tokens: int,
+        top_k: int = 1,
+        top_p: float = 1.0,
+        temperature: float = 1.0,
+        seed: int = 0,
+        timeout: Optional[float] = None,
+        session: Optional[int] = None,
+    ) -> Iterator[List[int]]:
+        """Streaming `generate`: yields each batch of newly decoded token ids
+        as the engine's decode chains sync to the host (the vLLM streaming-
+        generator analog, reference inference_vllm.py:109 — granularity is the
+        chain ramp, 4-32 tokens per yield, not one HTTP turn per token).
+
+        The concatenation of the yields equals `generate()`'s return for the
+        same arguments.  `timeout` bounds each wait for progress, not the
+        whole generation.  Closing the generator early does not cancel the
+        request on the engine; it runs to completion in the background."""
+        rid, req = self._submit(prompt_ids, allow_mask, eos_id, max_new_tokens,
+                                top_k, top_p, temperature, seed, session)
+        seen = 0
+        try:
+            while True:
+                with self._cv:
+                    while len(req.output_ids) <= seen and not req.finished:
+                        if not self._cv.wait(timeout):
+                            raise TimeoutError(
+                                f"request {rid}: no progress in {timeout}s")
+                    new = list(req.output_ids[seen:])
+                    done = req.finished
+                seen += len(new)
+                if new:
+                    yield new
+                if done:
+                    break
+            if req.error is not None:
+                raise RuntimeError(req.error)
+        finally:
+            with self._cv:
+                self._events.pop(rid, None)
+                self._reqs.pop(rid, None)
+
+    def _submit(self, prompt_ids, allow_mask, eos_id, max_new_tokens,
+                top_k, top_p, temperature, seed, session):
+        rid = next(self._ids)
+        req = Request(
+            rid, list(prompt_ids), allow_mask, eos_id, max_new_tokens,
+            top_k=top_k, top_p=top_p, temperature=temperature, seed=seed,
+            session=session,
+        )
+        req.t_submit = time.time()  # TTFT clock starts at caller submit time
+        with self._cv:
+            if not self._running:
+                raise RuntimeError("EngineServer is closed")
+            self._events[rid] = threading.Event()
+            self._reqs[rid] = req
+            self._inbox.append(req)
+            self._cv.notify_all()
+        return rid, req
 
     def new_session(self) -> int:
         """Fresh id for a chain of prefix-sharing requests."""
@@ -140,6 +191,9 @@ class EngineServer:
                 for rid, req in list(self._reqs.items()):
                     if req.finished and rid in self._events:
                         self._events[rid].set()
+                # wake generate_stream callers: a tick may have extended
+                # output_ids without finishing anything
+                self._cv.notify_all()
 
 
 class PagedDialogPolicy:
@@ -161,6 +215,7 @@ class PagedDialogPolicy:
         top_p: float = 1.0,
         temperature: float = 1.0,
         seed: int = 0,
+        on_tokens: Optional[Callable[[str, List[int]], None]] = None,
     ):
         self.server = server
         self.tok = tokenizer
@@ -170,6 +225,10 @@ class PagedDialogPolicy:
         self.top_p = top_p
         self.temperature = temperature
         self.seed = seed
+        # progress callback (stage, newly decoded ids) invoked as decode
+        # chains sync — drives SSE streaming in cli/serve.py; outputs are
+        # identical with or without it (generate_stream == generate)
+        self.on_tokens = on_tokens
         self._stage_idx = 0
         self._session: Optional[int] = None
 
@@ -184,11 +243,7 @@ class PagedDialogPolicy:
     def _run_stage(self, stage: str, prompt: str) -> List[int]:
         ids = self.tok.encode(prompt)
         self._stage_idx += 1
-        return self.server.generate(
-            ids,
-            stage_allow_mask(stage, self.ts),
-            stage_eos(stage, self.ts),
-            self._budget(len(ids)),
+        kwargs = dict(
             top_k=self.top_k,
             top_p=self.top_p,
             temperature=self.temperature,
@@ -196,6 +251,15 @@ class PagedDialogPolicy:
             seed=self.seed * 1000003 + self._stage_idx,
             session=self._session,
         )
+        args = (ids, stage_allow_mask(stage, self.ts), stage_eos(stage, self.ts),
+                self._budget(len(ids)))
+        if self.on_tokens is None:
+            return self.server.generate(*args, **kwargs)
+        out: List[int] = []
+        for delta in self.server.generate_stream(*args, **kwargs):
+            out.extend(delta)
+            self.on_tokens(stage, delta)
+        return out
 
     def respond_to_units(self, user_units: List[int]) -> DialogResult:
         self._stage_idx = 0
