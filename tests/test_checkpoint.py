@@ -292,6 +292,29 @@ def test_train_pt_export_hf_smoke(tmp_path):
     assert params["embed"].shape[0] == cfg.vocab_size
 
 
+def test_train_draft_cli_smoke(tmp_path):
+    """train_draft --tiny distills an early-exit draft, logs agreement, and
+    exports an HF dir whose geometry matches --draft_layers (ready for
+    --draft_dir on serve/infer)."""
+    from usdm_tpu.cli.train_draft import main as draft_main
+    from usdm_tpu.core import checkpoint as ckpt
+
+    data = tmp_path / "packed"
+    data.mkdir()
+    rows = [" ".join(str(i % 500) for i in range(32)) for _ in range(4)]
+    (data / "part0.txt").write_text("\n".join(rows))
+    out = str(tmp_path / "out")
+    exp = str(tmp_path / "draft_hf")
+    rc = draft_main(["--output_dir", out, "--data_path", str(data), "--tiny",
+                     "--draft_layers", "1", "--max_steps", "2",
+                     "--train_batch_size", "8", "--max_input_length", "32",
+                     "--quantize_target", "--export_hf", exp])
+    assert rc == 0
+    params, cfg = ckpt.load_mistral(exp)
+    assert cfg.num_layers == 1
+    assert params["layers"]["wq"].shape[0] == 1
+
+
 def test_save_voicebox_hub_roundtrip(tmp_path, rng):
     """save_voicebox_hub -> load_voicebox reproduces identical estimator
     outputs."""

@@ -44,6 +44,73 @@ def test_fsdp_train_step_decreases_loss(rng):
     assert len(wq.sharding.device_set) > 1
 
 
+def test_distill_draft_learns_target(rng):
+    """Distilling a 1-layer draft against a random tiny target: loss drops
+    and argmax agreement rises over a fixed batch; a full-depth early-exit
+    'draft' (== the target itself) starts at agreement 1.0."""
+    from usdm_tpu.train import distill as D
+
+    mesh = create_mesh(dp=4, tp=2)
+    tgt = M.init_params(CFG, jax.random.PRNGKey(7), dtype="float32")
+    tc = TrainConfig(batch_size=4, max_steps=40, learning_rate=3e-3, remat=True)
+    batch = _batch(rng)
+
+    # sanity oracle: a "draft" that IS the target nearly always agrees (the
+    # loss fn runs the draft in bf16 compute, so random-logit near-ties can
+    # flip a few argmaxes; exactness would hide nothing this checks for)
+    full, cfg_full = D.init_draft_from_target(tgt, CFG, CFG.num_layers)
+    with jax.default_matmul_precision("highest"):
+        _, aux = D.distill_loss_fn(full, tgt, cfg_full, CFG, batch, chunk=16,
+                                   attn_impl="xla")
+        assert float(aux["agree"]) > 0.95
+        assert float(aux["loss"]) < 0.05
+
+        draft, cfg_d = D.init_draft_from_target(tgt, CFG, 1)
+        opt = T.make_optimizer(tc)
+        state, shardings = T.init_state(cfg_d, tc, mesh, jax.random.PRNGKey(0), opt)
+        state = T.TrainState(params=jax.device_put(draft, shardings.params),
+                             opt_state=state.opt_state, step=state.step)
+        step = D.make_distill_step(cfg_d, CFG, tc, mesh, opt, chunk=16,
+                                   attn_impl="xla")
+        hist = []
+        for _ in range(12):
+            state, metrics = step(state, tgt, batch)
+            hist.append((float(metrics["loss"]), float(metrics["agree"])))
+    losses = [h[0] for h in hist]
+    agrees = [h[1] for h in hist]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"distill loss flat: {losses}"
+    assert agrees[-1] >= agrees[0], f"agreement fell: {agrees}"
+
+
+def test_distill_top1_mode_and_quantized_target(rng):
+    """top1 (argmax-CE) mode trains, and the target forward accepts int8
+    serving weights (the one-chip 7B-target + draft configuration)."""
+    from usdm_tpu.models.quant import quantize_llm_params
+    from usdm_tpu.train import distill as D
+
+    mesh = create_mesh(dp=4, tp=2)
+    tgt = M.init_params(CFG, jax.random.PRNGKey(7), dtype="float32")
+    qtgt = jax.jit(quantize_llm_params)(tgt)
+    tc = TrainConfig(batch_size=4, max_steps=20, learning_rate=3e-3, remat=False)
+    batch = _batch(rng)
+    with jax.default_matmul_precision("highest"):
+        draft, cfg_d = D.init_draft_from_target(qtgt, CFG, 1)
+        assert draft["layers"]["wq"].dtype == jnp.float32  # dequantized copy
+        opt = T.make_optimizer(tc)
+        state, shardings = T.init_state(cfg_d, tc, mesh, jax.random.PRNGKey(0), opt)
+        state = T.TrainState(params=jax.device_put(draft, shardings.params),
+                             opt_state=state.opt_state, step=state.step)
+        step = D.make_distill_step(cfg_d, CFG, tc, mesh, opt, mode="top1",
+                                   chunk=16, attn_impl="xla")
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, qtgt, batch)
+            losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"top1 distill flat: {losses}"
+
+
 def test_fsdp_matches_single_device(rng):
     """The 4x2-sharded step must produce the same loss trajectory as dp=1."""
     batch = _batch(rng)
