@@ -382,6 +382,41 @@ def test_multi_horizon_respects_allocation(setup, rng):
     assert victim.output_ids == victim_solo.output_ids
 
 
+def test_capacity_wait_still_chains(setup, rng):
+    """A request waiting only for capacity (no admittable work) must not
+    degrade the running slots to per-token stepping: once prefill work is
+    exhausted, a tick advances multiple decode tokens (chained), and the
+    waiter is admitted after a slot frees.  Both requests' outputs equal
+    their solo runs."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=1,
+                        decode_horizon=8)
+    solo = []
+    for seed in (0, 1):
+        eng = PagedEngine(params, CFG, ecfg)
+        r = _req(np.random.default_rng(seed), seed, max_new=24)
+        eng.run([r])
+        solo.append(r.output_ids)
+
+    eng = PagedEngine(params, CFG, ecfg)
+    ra = _req(np.random.default_rng(0), 0, max_new=24)
+    rb = _req(np.random.default_rng(1), 1, max_new=24)
+    eng.submit(ra)
+    eng.submit(rb)
+    while eng.prefill_order or (eng.waiting and not ra.output_ids):
+        eng.tick()  # drain ra's prefill; rb now waits on capacity only
+    chained_ticks = 0
+    steps0 = eng.steps
+    while not ra.finished:
+        eng.tick()
+        chained_ticks += 1
+    assert eng.steps - steps0 > chained_ticks, (
+        "capacity wait fell back to per-token stepping")
+    while eng.busy:
+        eng.tick()
+    assert [ra.output_ids, rb.output_ids] == solo
+
+
 def test_session_prefix_reuse_matches_fresh(setup, rng):
     """A 3-request session chain (each prompt extends the previous prompt +
     output, like the dialog stages) must emit exactly what independent
@@ -401,14 +436,13 @@ def test_session_prefix_reuse_matches_fresh(setup, rng):
             req = Request(100 + k, list(prompt), allow, eos_id=2,
                           max_new_tokens=6, session=session)
             eng.submit(req)
-            n = 0
+            n0 = eng.prefill_chunks
             while eng.prefill_order or eng.waiting:
                 eng.tick()
-                n += 1
             while eng.busy:
                 eng.tick()
             outs.append(list(req.output_ids))
-            prefill_ticks.append(n)
+            prefill_ticks.append(eng.prefill_chunks - n0)
             # next stage: previous prompt + output + fixed suffix tokens
             prompt = prompt + req.output_ids + suffixes[k]
         return outs, prefill_ticks

@@ -318,6 +318,10 @@ class EngineConfig(_Base):
     max_batch_size: int = 8
     prefill_chunk: int = 256      # tokens prefilled per engine step: bounds how
     # long an admission can stall in-flight decodes (vLLM chunked prefill)
+    prefill_chunks_per_tick: int = 4  # chunks drained per scheduler tick while
+    # prompts are pending: higher drains admissions faster (better TTFT and
+    # less time in the slow per-token decode mode between chunks), lower
+    # keeps in-flight decodes' latency tighter during a prefill burst
     n_pages: Optional[int] = None  # KV pool size; None = max_batch_size *
     # max_pages_per_seq (never page-constrained).  Set lower to bound HBM like
     # vLLM's gpu_memory_utilization-derived pool.

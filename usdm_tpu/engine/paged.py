@@ -212,6 +212,7 @@ class PagedEngine:
         self.slot_history: List[List[int]] = [[] for _ in range(b)]
         self._hold_order: List[int] = []  # LRU for eviction under pressure
         self.steps = 0
+        self.prefill_chunks = 0  # chunk dispatches (telemetry + reuse tests)
         # device-side decode horizon: sync with the host every N tokens when
         # no admissions are pending.  multi_impl="chain" (step_chain) runs
         # back-to-back single-step dispatches with one sync per horizon; the
@@ -405,6 +406,7 @@ class PagedEngine:
         else None."""
         if not self.prefill_order:
             return None
+        self.prefill_chunks += 1
         slot = self.prefill_order[0]
         req = self.slot_req[slot]
         start = int(self.prefill_pos[slot])
@@ -494,6 +496,7 @@ class PagedEngine:
         return {
             "uptime_s": round(_t.time() - self._t0, 1),
             "steps": self.steps,
+            "prefill_chunks": self.prefill_chunks,
             "total_emitted": self.total_emitted,
             "total_finished": self.total_finished,
             "active_slots": int(((self.status == PREFILL) | (self.status == DECODE)).sum()),
@@ -726,6 +729,8 @@ class PagedEngine:
         dec = self.status == DECODE
         if not dec.any():
             return int((self.status != FREE).sum())
+        if self.waiting:
+            n_steps = min(n_steps, 8)  # same capacity-wait cap as step_chain
         n_steps = self._safe_horizon(n_steps, dec)
         table, eos, tk_d, tp_d, tmp_d = self._slot_state_dev()
         toks, n_emitted, self._keys_dev, self.kv = paged_decode_multi(
@@ -768,6 +773,11 @@ class PagedEngine:
         # ~0.09 s while halving the ramp's sync count vs starting at 4
         n_steps = min(n_steps, 8 << min(self._chain_streak, 8))
         self._chain_streak += 1
+        if self.waiting:
+            # hold the ramp at its floor while requests queue for capacity: a
+            # slot freed by this chain gets admitted ~one short chain later
+            # instead of after a full 32+-link horizon
+            n_steps = min(n_steps, 8)
         dec = self.status == DECODE
         if not dec.any():
             return int((self.status != FREE).sum())
@@ -978,9 +988,27 @@ class PagedEngine:
         applicable, multi-token (chained) decode otherwise — single-device
         and TP take the same paths (TP chains shard_map'd links)."""
         if self.waiting or self.prefill_order:
-            # keep admitting/prefilling while a queue exists; if this step's
-            # chunk drains the queue, defer decode to next tick's chain
-            return self.step(_defer_chain=True)
+            self._try_admit()  # host-side bookkeeping only — no compute
+            if self.prefill_order:
+                # real prefill work pending: drain up to a budget of chunks
+                # back-to-back (one decode token between chunks costs a full
+                # per-token host sync — with staggered arrivals the engine
+                # otherwise spends most of a loaded run in that slow mode),
+                # then step() runs the last chunk and, if the queue drained,
+                # defers decode to next tick's chain
+                t0 = _time.perf_counter()
+                for _ in range(self.ecfg.prefill_chunks_per_tick - 1):
+                    self._prefill_tick()
+                    self._try_admit()  # a completed prompt may free pages
+                    if not self.prefill_order:
+                        break
+                self._acc("prefill", _time.perf_counter() - t0)
+                return self.step(_defer_chain=True)
+            # requests are waiting but nothing is admittable (slot/page
+            # bound): fall through to CHAINED decode — running requests
+            # finishing sooner is exactly what frees capacity.  (The old
+            # behavior single-stepped here, collapsing aggregate decode ~4x
+            # for the entire slot-bound stretch of a loaded serving run.)
         if self._can_spec():
             return self.step_spec()
         if self.draft_params is not None:
