@@ -157,7 +157,11 @@ def main():
     run("w4a8_unpack", w4a8_unpack, x, upp, dnp_, s_up, s_dn)
 
     # ---------- Pallas grid-pipelined, "oi" layout, packed along IN ----------
-    # tiles of [BF, Din/2] uint8 stream through VMEM; unpack + dot in-kernel
+    # tiles of [BF, Din/2] uint8 stream through VMEM; unpack + dot in-kernel.
+    # NOTE: this variant predates the working one in exp_int4_pallas.py —
+    # the fixed 2048-row tile over-budgets VMEM on the down projections and
+    # the interleaved unpack needs an 8-bit reshape Mosaic can't do; kept as
+    # the record of what failed.
     BF = 2048
 
     def qmv4_kernel(x_ref, w_ref, s_ref, o_ref):

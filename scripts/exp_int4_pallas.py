@@ -7,8 +7,10 @@ two-nibbles-per-uint8 with the two halves of the input axis in lo/hi nibbles
 (no interleave reshape, which Mosaic can't do on 8-bit), unpacked in VMEM,
 int8 MXU dot per half, summed.
 
-The remote compile helper is flaky (libtpu init races on MDS queries), so the
-timing loop retries the compile a few times.
+What looked like a flaky remote-compile helper was a VMEM over-budget: fixed
+[1024, dh] tiles double-buffer to 14.7 MB on the down projections.  Tiles are
+now sized per shape; the retry loop stays as a belt against real helper
+flakes.
 
 Run: python scripts/exp_int4_pallas.py   (on the chip)
 """
@@ -28,7 +30,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 D, F, L = 4096, 14336, 16
-BF = 1024
+
+
+def pick_bf(dout: int, dh: int, budget: int = 4 << 20) -> int:
+    """Largest power-of-two tile height whose double buffer fits the VMEM
+    budget (tiles of [bf, dh] uint8): [1024, 7168] x2 = 14.7 MB over-budgets
+    the down projections and crashes the compile helper."""
+    bf = 2048
+    while bf > 128 and (2 * bf * dh > budget or dout % bf):
+        bf //= 2
+    return bf
 
 
 def qmv4_kernel(x_ref, w_ref, s_ref, o_ref):
@@ -50,15 +61,16 @@ def qmv4(qy, wp, s):
     """qy [B, Din] int8 @ packed W [Dout, Din/2] uint8 -> [B, Dout] f32*scale."""
     dout, dh = wp.shape
     din = dh * 2
-    nt = dout // BF
+    bf = pick_bf(dout, dh)
+    nt = dout // bf
     b = qy.shape[0]
     return pl.pallas_call(
         qmv4_kernel, grid=(nt,),
         in_specs=[pl.BlockSpec((b, din), lambda i: (0, 0)),
-                  pl.BlockSpec((BF, dh), lambda i: (i, 0)),
-                  pl.BlockSpec((1, BF), lambda i: (0, i))],
-        out_specs=pl.BlockSpec((b, BF), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((b, BF * nt), jnp.float32),
+                  pl.BlockSpec((bf, dh), lambda i: (i, 0)),
+                  pl.BlockSpec((1, bf), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((b, bf), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, bf * nt), jnp.float32),
     )(qy, wp, s)
 
 
