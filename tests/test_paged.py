@@ -812,3 +812,54 @@ def test_sliced_decode_matches_full_vocab(setup, rng):
         )
     dense = np.asarray(toks[0, : int(lens[0])]).tolist()
     assert req.output_ids[: len(dense)] == dense
+
+
+def test_runahead_matches_no_runahead(setup, rng):
+    """Depth-1 chain run-ahead (dispatch chain k+1 before syncing chain k)
+    must be output-invisible: EOS mid-chain, budget-bound endings, and
+    session-chained requests all emit exactly the non-run-ahead tokens."""
+    params = setup
+    base = dict(page_size=16, max_pages_per_seq=8, max_batch_size=2,
+                decode_horizon=8)
+    prompts = [rng.integers(3, CFG.vocab_size, size=n).tolist()
+               for n in (9, 14, 11)]
+    allow = np.ones(CFG.vocab_size, bool)
+
+    def run(runahead):
+        eng = PagedEngine(params, CFG, EngineConfig(runahead=runahead, **base))
+        outs = []
+        # greedy long (budget-bound), then session chain (stage-B/C shape)
+        r1 = Request(0, prompts[0], allow, eos_id=2, max_new_tokens=20, session=7)
+        eng.run([r1])
+        r2 = Request(1, prompts[0] + r1.output_ids + prompts[1], allow,
+                     eos_id=2, max_new_tokens=12, session=7)
+        eng.run([r2])
+        eng.release_session(7)
+        # EOS mid-chain: pick the greedy continuation's 3rd token as the EOS
+        probe = Request(2, prompts[2], allow, eos_id=2, max_new_tokens=16)
+        eng.run([probe])
+        eos = probe.output_ids[2] if len(probe.output_ids) > 3 else 2
+        r3 = Request(3, prompts[2], allow, eos_id=eos, max_new_tokens=16)
+        eng.run([r3])
+        outs = [r1.output_ids, r2.output_ids, probe.output_ids, r3.output_ids]
+        # free-pool invariant: nothing leaked across inflight chains
+        assert len(eng.free_pages) == eng.n_pages - 1
+        return outs
+
+    with jax.default_matmul_precision("highest"):
+        assert run(True) == run(False)
+
+
+def test_runahead_engages(setup, rng):
+    """The run-ahead path must actually engage for a quiet long decode (a
+    regression here would silently fall back to synced chains)."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=1,
+                        decode_horizon=8, runahead=True)
+    eng = PagedEngine(params, CFG, ecfg)
+    seen_inflight = False
+    eng.submit(_req(rng, 0, n=10, max_new=40))
+    while eng.busy:
+        eng.tick()
+        seen_inflight = seen_inflight or eng._inflight is not None
+    assert seen_inflight

@@ -336,3 +336,8 @@ class EngineConfig(_Base):
     # (bf16), "int8" = quantized pages with per-(head, token) f32 scales
     # (vLLM's fp8 KV cache analog) — half the page HBM and attention-read
     # traffic; outputs may differ from bf16 by ~0.4% logit noise.
+    runahead: bool = True         # depth-1 chain run-ahead: dispatch the next
+    # decode chain from carried device state BEFORE syncing the previous one,
+    # hiding the per-chain host RTT (~25 ms tunneled) behind device compute.
+    # Only engages in the quiet single-flow state (no admissions/prefills
+    # pending, no draft, single device); outputs are identical either way.

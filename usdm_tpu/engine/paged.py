@@ -131,6 +131,16 @@ def _admit_slot_update(allow_dev, keys_dev, slot, mask, key):
     return allow_dev.at[slot].set(mask), keys_dev.at[slot].set(key)
 
 
+@jax.jit
+def _inject_first(tok_vec, done_vec, slot, first_tok, eos_vec):
+    """Fold a deferred post-prefill first token into a chain's input state:
+    the token becomes the slot's chain input, and the done flag is set on
+    device if it already IS the slot's stage EOS (the host hasn't seen the
+    token yet, so the check must happen here)."""
+    return (tok_vec.at[slot].set(first_tok),
+            done_vec.at[slot].set(first_tok == eos_vec[slot]))
+
+
 class PagedEngine:
     """Continuous-batching engine over the paged KV pool.
 
@@ -197,6 +207,23 @@ class PagedEngine:
         # state decode needs no host->device upload at all.  None = host
         # state changed; re-upload.
         self._hot = None
+        # deferred post-prefill first tokens: slot -> device scalar.  The
+        # host sync on the first sampled token costs an RTT AND idle-waits
+        # for the whole prefill compute tail; deferring it lets the next
+        # chain take the device scalar as its input and the host learns the
+        # token at the chain's one sync.  Consumed by step_chain; any other
+        # decode path flushes synchronously first (_flush_pending).
+        self._pending_first: dict = {}
+        # depth-1 chain run-ahead: the last dispatched-but-unsynced chain's
+        # metadata (see _dispatch_chain).  While it is in flight, the next
+        # tick dispatches its successor from the carried device state BEFORE
+        # syncing it, so the sync's host RTT and absorb overlap the
+        # successor's device compute (~25 ms/chain on a tunneled chip).
+        self._inflight: Optional[dict] = None
+        # per-slot admission generation: bumped on every _admit_into, so a
+        # chain dispatched for generation g is never absorbed into a slot
+        # re-admitted at generation g+1 (its frozen links emit zeros there)
+        self.slot_gen = np.zeros(b, np.int64)
         self.slot_req: List[Optional[Request]] = [None] * b
         self.slot_slice: List[Optional[tuple]] = [None] * b  # lm_head slice
         self.slot_pages: List[List[int]] = [[] for _ in range(b)]
@@ -315,6 +342,7 @@ class PagedEngine:
         """Bind `req` to `slot`, prefilling from `start` (pages already owned
         plus `extra` fresh ones)."""
         self.slot_pages[slot] = self.slot_pages[slot] + extra
+        self.slot_gen[slot] += 1
         row = np.full(self.ecfg.max_pages_per_seq, self.n_pages - 1, np.int32)
         row[: len(self.slot_pages[slot])] = self.slot_pages[slot]
         # leading pages already reclaimed by the sliding window stay trashed
@@ -460,21 +488,48 @@ class PagedEngine:
             req.top_k, req.top_p, req.temperature, do_sample=req.sampled,
         )
         self._keys_dev = self._keys_dev.at[slot].set(new_key)
+        self.seq_lens[slot] = len(req.prompt_ids)
+        self.status[slot] = DECODE
+        self._hot = None
+        if (self.decode_horizon > 1 and self.multi_impl == "chain"
+                and self.draft_params is None):
+            # DEFER the host sync: int(tok) here would idle-wait the whole
+            # prefill compute tail plus an RTT before any decode work could
+            # even be dispatched.  The next chain injects the device scalar
+            # as this slot's input token (_inject_first) and the host learns
+            # it at the chain's single sync.  Paths that need self.tokens
+            # host-side flush synchronously first (_flush_pending).
+            self._pending_first[slot] = tok
+            return slot
         t_sync = _time.perf_counter()
         first = int(tok)
         self._acc("first_tok_sync", _time.perf_counter() - t_sync)
+        self._record_first(slot, first)
+        return slot
+
+    def _record_first(self, slot: int, first: int) -> None:
+        """Host bookkeeping for a post-prefill first token (sync path and
+        pending flush share it)."""
         import time as _t
 
+        req = self.slot_req[slot]
         req.ttft_s = _t.time() - req.t_submit
         self._ttfts.append(req.ttft_s)
         req.output_ids.append(first)
-        self.seq_lens[slot] = len(req.prompt_ids)
         self.tokens[slot] = first
-        self.status[slot] = DECODE
-        self._hot = None
         if first == req.eos_id or len(req.output_ids) >= req.max_new_tokens:
             self._finish(slot)
-        return slot
+
+    def _flush_pending(self) -> None:
+        """Synchronously absorb deferred first tokens — decode paths that
+        read self.tokens host-side (step/step_multi/step_spec) call this
+        before dispatching."""
+        for slot, tok in list(self._pending_first.items()):
+            t0 = _time.perf_counter()
+            first = int(tok)
+            self._acc("first_tok_sync", _time.perf_counter() - t0)
+            self._record_first(slot, first)
+        self._pending_first.clear()
 
     def _slot_state_dev(self):
         """(table, eos, top_k, top_p, temp) device arrays, re-uploaded only
@@ -620,6 +675,9 @@ class PagedEngine:
         drains the queue, skip the per-token-sync decode and let the next
         tick run a chained decode instead.  Direct callers keep the
         one-token-per-step contract."""
+        if self._inflight is not None:  # absorb any run-ahead chain first
+            fl, self._inflight = self._inflight, None
+            self._sync_chain(fl)
         t0 = _time.perf_counter()
         self._try_admit()
         self._acc("admit", _time.perf_counter() - t0)
@@ -634,6 +692,10 @@ class PagedEngine:
                 and self.draft_params is None):
             # the queue just drained: let the next tick run a CHAINED decode
             # instead of paying this step's per-token host sync
+            return int((self.status != FREE).sum())
+        self._flush_pending()  # the decode below reads self.tokens host-side
+        dec = self.status == DECODE  # a pending EOS may have finished a slot
+        if not dec.any():
             return int((self.status != FREE).sum())
         t0 = _time.perf_counter()
         if self.mesh is not None:
@@ -715,7 +777,10 @@ class PagedEngine:
             if not dec[slot]:
                 continue
             req = self.slot_req[slot]
-            n = min(n, req.max_new_tokens - len(req.output_ids))
+            # a deferred first token (not yet in output_ids) spends one unit
+            # of the budget when the chain absorbs it
+            pend = 1 if slot in self._pending_first else 0
+            n = min(n, req.max_new_tokens - len(req.output_ids) - pend)
             cap = len(self.slot_pages[slot]) * ps - (int(self.seq_lens[slot]) + 1)
             n = min(n, cap)
         return max(n, 1)
@@ -724,8 +789,12 @@ class PagedEngine:
         """One prefill chunk, then decode up to n_steps tokens on device."""
         if self.mesh is not None:  # TP path always syncs per token
             return self.step()
+        if self._inflight is not None:  # absorb any run-ahead chain first
+            fl, self._inflight = self._inflight, None
+            self._sync_chain(fl)
         self._try_admit()
         self._prefill_tick()
+        self._flush_pending()  # the fused loop reads self.tokens host-side
         dec = self.status == DECODE
         if not dec.any():
             return int((self.status != FREE).sum())
@@ -779,21 +848,95 @@ class PagedEngine:
             # instead of after a full 32+-link horizon
             n_steps = min(n_steps, 8)
         dec = self.status == DECODE
+        fl, self._inflight = self._inflight, None
         if not dec.any():
+            if fl is not None:
+                self._sync_chain(fl)  # tail chain of a drained decode set
             return int((self.status != FREE).sum())
+        # run-ahead is only safe/useful in the quiet single-flow state: no
+        # admissions or prefills pending (their per-token responsiveness
+        # path must not race an unsynced chain), no draft (spec rounds read
+        # host tokens), single device
+        quiet = (self.ecfg.runahead and not self.waiting
+                 and not self.prefill_order and self.draft_params is None
+                 and self.mesh is None)
+        if fl is not None:
+            meta = None
+            if quiet and self._hot is not None:
+                # dispatch the successor from the carried device state BEFORE
+                # syncing the in-flight chain: the sync's host RTT + absorb
+                # then overlap the successor's device compute.  Length uses
+                # assumed-FULL emission of the in-flight chain (if it actually
+                # emitted less it hit EOS, and `done` freezes on device).
+                n = self._runahead_len(n_steps, dec, fl)
+                if n > 0:
+                    meta = self._dispatch_chain(n, dec)
+            self._sync_chain(fl)
+            if meta is not None:
+                self._inflight = meta
+                return int((self.status != FREE).sum())
+            # nothing was run ahead (fresh prefill/pending state or budget
+            # tail): fall through and dispatch from the just-absorbed state
+            dec = self.status == DECODE
+            if not dec.any():
+                return int((self.status != FREE).sum())
         n_steps = self._safe_horizon(n_steps, dec)
+        meta = self._dispatch_chain(n_steps, dec)
+        if quiet and self._runahead_len(self.decode_horizon, dec, meta) > 0:
+            # a successor exists: leave this chain in flight; the next tick
+            # dispatches the successor and then syncs this one
+            self._inflight = meta
+            return int((self.status != FREE).sum())
+        self._sync_chain(meta)
+        return int((self.status != FREE).sum())
+
+    def _runahead_len(self, n_steps: int, dec: np.ndarray, fl: dict) -> int:
+        """Longest chain dispatchable AFTER the in-flight chain `fl`,
+        assuming it emits fully: like _safe_horizon but with the in-flight
+        emissions/KV-writes added.  <= 0 means no run-ahead (some slot's
+        budget or page allocation would be exhausted)."""
+        n = n_steps
+        ps = self.ecfg.page_size
+        for slot in range(self.ecfg.max_batch_size):
+            if not dec[slot]:
+                continue
+            req = self.slot_req[slot]
+            n = min(n, req.max_new_tokens - len(req.output_ids)
+                    - int(fl["full_emit"][slot]))
+            cap = (len(self.slot_pages[slot]) * ps
+                   - (int(self.seq_lens[slot]) + fl["n_steps"] + 1))
+            n = min(n, cap)
+        return n
+
+    def _dispatch_chain(self, n_steps: int, dec: np.ndarray) -> dict:
+        """Dispatch one decode chain of `n_steps` links (no host sync) and
+        return the metadata _sync_chain needs to absorb it later."""
         t0 = _time.perf_counter()
         do_sample = self._do_sample()
         needs_filter = self._needs_filter()
         lslice = self._active_slice(dec, do_sample)
         if self._hot is not None:
-            tok, lens = self._hot  # previous chain's device outputs
+            # previous chain's device outputs; `done` carries EOS freezes the
+            # host may not have absorbed yet (run-ahead)
+            tok, lens, done = self._hot
         else:
             tok = jnp.asarray(self.tokens)
             lens = jnp.asarray(self.seq_lens)
+            done = None
         table, eos, tk, tp_, tmp = self._slot_state_dev()
         active = jnp.asarray(dec)
-        done = ~active
+        if done is None:
+            done = ~active
+        # deferred post-prefill first tokens ride this chain: the device
+        # scalar becomes the slot's input token (and sets done if it is
+        # already the EOS); the host learns it at the sync, where it is
+        # emitted as the slot's column 0
+        pend = sorted(self._pending_first)
+        for slot in pend:
+            tok, done = _inject_first(tok, done, slot,
+                                      self._pending_first[slot], eos)
+        self._pending_first.clear()
+        tok_in = tok  # chain input vector (column 0 for pending slots)
         outs = []
         for _ in range(n_steps):
             if self.mesh is not None:
@@ -812,31 +955,71 @@ class PagedEngine:
                     logits_slice=lslice,
                 )
             outs.append(tok)
-        self._hot = (tok, lens)
+        self._hot = (tok, lens, done)
+        stacked = jnp.stack([tok_in] + outs, axis=1)  # still on device
         self._acc("chain_dispatch", _time.perf_counter() - t0)
+        full = np.where(dec, n_steps, 0)
+        for slot in pend:
+            full[slot] += 1
+        return {
+            "stacked": stacked, "dec": dec, "pend": pend, "n_steps": n_steps,
+            "gen": self.slot_gen.copy(), "full_emit": full,
+        }
+
+    def _sync_chain(self, meta: dict) -> int:
+        """ONE host sync for a dispatched chain, then absorb its tokens.
+
+        Slots re-admitted since the dispatch (generation bump) or finished by
+        an earlier chain's absorb are skipped — their links were frozen /
+        trash-routed on device and emitted nothing meaningful."""
         t0 = _time.perf_counter()
-        toks = np.asarray(jnp.stack(outs, axis=1))  # ONE host sync
+        toks_all = np.asarray(meta["stacked"])  # ONE host sync
         self._acc("chain_sync", _time.perf_counter() - t0)
+        n_steps = meta["n_steps"]
+        pend = meta["pend"]
         self.steps += n_steps
-        is_eos = toks == self.eos[:, None]
+        dec = (meta["dec"] & (self.status == DECODE)
+               & (self.slot_gen == meta["gen"]))
+        b = self.ecfg.max_batch_size
+        # pending slots emit their deferred first token as column 0 (their
+        # chain INPUT); everyone else's column 0 was already emitted by the
+        # previous chain/prefill, so their window starts at column 1
+        em = np.zeros((b, n_steps + 1), np.int32)
+        em[:, :n_steps] = toks_all[:, 1:]
+        valid = np.full(b, n_steps)
+        for slot in pend:
+            em[slot] = toks_all[slot]
+            valid[slot] = n_steps + 1
+        cols = np.arange(n_steps + 1)[None]
+        is_eos = (em == self.eos[:, None]) & (cols < valid[:, None])
         any_eos = is_eos.any(axis=1)
         eos_pos = is_eos.argmax(axis=1)
-        n_emitted = np.where(dec, np.where(any_eos, eos_pos + 1, n_steps), 0)
+        n_emitted = np.where(dec, np.where(any_eos, eos_pos + 1, valid), 0)
         t0 = _time.perf_counter()
         try:
-            return self._absorb_multi(dec, toks, n_emitted)
+            return self._absorb_multi(dec, em, n_emitted, pend_slots=pend)
         finally:
             self._acc("absorb", _time.perf_counter() - t0)
 
-    def _absorb_multi(self, dec: np.ndarray, toks: np.ndarray, n_emitted: np.ndarray) -> int:
+    def _absorb_multi(self, dec: np.ndarray, toks: np.ndarray, n_emitted: np.ndarray,
+                      pend_slots=()) -> int:
+        import time as _t
+
         for slot in range(self.ecfg.max_batch_size):
             if not dec[slot]:
                 continue
             n = int(n_emitted[slot])
             req = self.slot_req[slot]
             emitted = toks[slot, :n].tolist()
+            if req.ttft_s is None and emitted:  # deferred-first-token slots
+                req.ttft_s = _t.time() - req.t_submit
+                self._ttfts.append(req.ttft_s)
             req.output_ids.extend(emitted)
-            self.seq_lens[slot] += n
+            # a pending slot's column 0 was its chain INPUT: its KV was
+            # written by the chain, but it never counted toward seq_lens
+            # (seq_lens = kv-written length; the first token's KV lands when
+            # it is consumed as input) — so its kv increment is n - 1
+            self.seq_lens[slot] += n - (1 if slot in pend_slots and n > 0 else 0)
             if emitted:
                 self.tokens[slot] = emitted[-1]
             total = int(self.seq_lens[slot]) + 1
@@ -904,6 +1087,10 @@ class PagedEngine:
         decode's for any draft (tests assert this); tokens/s scales with
         draft agreement because the target — the weight-read-bound model —
         runs once per round instead of once per token."""
+        if self._inflight is not None:  # absorb any run-ahead chain first
+            fl, self._inflight = self._inflight, None
+            self._sync_chain(fl)
+        self._flush_pending()  # reads self.tokens (no-op: drafts disable deferral)
         k = self.ecfg.spec_k
         dec = self.status == DECODE
         rounds = min(self._spec_rounds_cap(dec),
@@ -997,12 +1184,24 @@ class PagedEngine:
                 # then step() runs the last chunk and, if the queue drained,
                 # defers decode to next tick's chain
                 t0 = _time.perf_counter()
+                deferred = False
                 for _ in range(self.ecfg.prefill_chunks_per_tick - 1):
-                    self._prefill_tick()
+                    done_slot = self._prefill_tick()
                     self._try_admit()  # a completed prompt may free pages
+                    if (done_slot is not None and not self.prefill_order
+                            and not self.waiting and self.decode_horizon > 1
+                            and self.draft_params is None):
+                        # the queue drained INSIDE the drain loop: defer to
+                        # the next tick's chain, same as step(_defer_chain)
+                        # (falling through to step() here would pay a full
+                        # per-token-synced decode step for nothing)
+                        deferred = True
+                        break
                     if not self.prefill_order:
                         break
                 self._acc("prefill", _time.perf_counter() - t0)
+                if deferred:
+                    return int((self.status != FREE).sum())
                 return self.step(_defer_chain=True)
             # requests are waiting but nothing is admittable (slot/page
             # bound): fall through to CHAINED decode — running requests
