@@ -73,3 +73,46 @@ def test_respond_with_speculation_matches_plain(tmp_path, user_wav):
     pipe.close()
     assert res_a.stage_tokens == res_b.stage_tokens
     assert res_a.agent_units == res_b.agent_units
+
+
+def test_synthesize_bucketing(pipe, rng):
+    """Frame bucketing bounds the jitted ODE/vocoder compile set: every
+    VB.generate/BV.generator call sees bucket-multiple frame counts, while
+    the returned waveform keeps the EXACT sample count (n_pooled * hop)."""
+    from unittest import mock
+
+    from usdm_tpu.audio.units import expand_and_pool
+    from usdm_tpu.models import bigvgan as BV
+    from usdm_tpu.models import voicebox as VB
+
+    dec = pipe.decoder
+    assert dec.frame_bucket > 0  # serving default buckets
+    mc = dec.mel_cfg
+    shapes = []
+    real_gen = VB.generate
+    real_voc = BV.generator
+
+    def spy_gen(params, cfg, x, cond, lengths, *a, **kw):
+        shapes.append(("ode", x.shape[1]))
+        return real_gen(params, cfg, x, cond, lengths, *a, **kw)
+
+    def spy_voc(params, cfg, mel):
+        shapes.append(("voc", mel.shape[-1]))
+        return real_voc(params, cfg, mel)
+
+    for n_units in (3, 7, 11):
+        units = rng.integers(0, dec.voicebox_cfg.n_tokens, n_units).tolist()
+        pooled, _ = expand_and_pool(np.asarray(units), mc.sampling_rate,
+                                    mc.token_sr, mc.hop_size)
+        with mock.patch.object(VB, "generate", spy_gen), \
+                mock.patch.object(BV, "generator", spy_voc):
+            import jax
+            wav = dec.synthesize(units, jax.random.PRNGKey(0))
+        assert len(wav) == len(pooled) * dec.vocoder_cfg.total_upsample
+        assert np.isfinite(wav).all()
+    assert all(t % dec.frame_bucket == 0 for _, t in shapes), shapes
+    # identical inputs are deterministic (same bucket, same key)
+    import jax
+    w1 = dec.synthesize([5, 9, 4], jax.random.PRNGKey(3))
+    w2 = dec.synthesize([5, 9, 4], jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(w1, w2)

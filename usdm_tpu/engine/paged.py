@@ -492,13 +492,17 @@ class PagedEngine:
         self.status[slot] = DECODE
         self._hot = None
         if (self.decode_horizon > 1 and self.multi_impl == "chain"
-                and self.draft_params is None):
+                and self.draft_params is None
+                and not self.waiting and not self.prefill_order):
             # DEFER the host sync: int(tok) here would idle-wait the whole
             # prefill compute tail plus an RTT before any decode work could
             # even be dispatched.  The next chain injects the device scalar
             # as this slot's input token (_inject_first) and the host learns
             # it at the chain's single sync.  Paths that need self.tokens
-            # host-side flush synchronously first (_flush_pending).
+            # host-side flush synchronously first (_flush_pending).  Only in
+            # the quiet single-flow state: under load the scheduler keeps
+            # prefilling other prompts first, and a deferred sync would sit
+            # on this request's TTFT for several chunks.
             self._pending_first[slot] = tok
             return slot
         t_sync = _time.perf_counter()

@@ -35,6 +35,14 @@ class SpeechDecoder:
     vocoder_params: BV.Params
     vocoder_cfg: BigVGANConfig
     mel_cfg: MelConfig = MelConfig()
+    # frame-count bucket for the jitted Voicebox ODE / BigVGAN programs: each
+    # DISTINCT length otherwise compiles a fresh XLA program (~20-40 s on
+    # TPU), and serving sees arbitrary response lengths.  Inputs are padded
+    # up to a bucket multiple (estimator frames are length-masked; the
+    # vocoder pad is edge-replicated mel, sliced off the waveform), bounding
+    # the compile set at ~max_frames/frame_bucket programs.  0 = exact
+    # shapes (bit-matching the unpadded reference math; used by tests).
+    frame_bucket: int = 64
 
     def synthesize(
         self,
@@ -57,32 +65,47 @@ class SpeechDecoder:
         if n_agent == 0:
             return np.zeros(0, np.float32)
 
+        def bucket(n: int) -> int:
+            b = self.frame_bucket
+            return -(-n // b) * b if b else n
+
         if reference is not None:
             ref_units, ref_mel = reference
             n_ref = len(ref_units)
-            x = np.concatenate([ref_units, agent_units])[None]
-            cond = np.zeros((1, mc.num_mels, n_ref + n_agent), np.float32)
+            t = n_ref + n_agent
+            x = np.zeros((1, bucket(t)), np.int64)
+            x[0, :t] = np.concatenate([ref_units, agent_units])
+            cond = np.zeros((1, mc.num_mels, bucket(t)), np.float32)
             cond[:, :, :n_ref] = ref_mel
-            lengths = jnp.asarray([n_ref + n_agent])
+            lengths = jnp.asarray([t])
             mel = VB.generate(
                 self.voicebox_params, self.voicebox_cfg, jnp.asarray(x.astype(np.int32)),
                 jnp.asarray(cond), lengths, key, n_timesteps=n_timesteps, solver=solver,
                 gradient_scale=gradient_scale, speech_prompt=True, prompt_len=n_ref,
             )
-            mel = mel[:, :, n_ref:]
+            mel = mel[:, :, n_ref:t]
         else:
-            x = agent_units[None]
-            cond = jnp.zeros((1, mc.num_mels, n_agent), jnp.float32)
+            x = np.zeros((1, bucket(n_agent)), np.int64)
+            x[0, :n_agent] = agent_units
+            cond = jnp.zeros((1, mc.num_mels, bucket(n_agent)), jnp.float32)
             lengths = jnp.asarray([n_agent])
             mel = VB.generate(
                 self.voicebox_params, self.voicebox_cfg, jnp.asarray(x.astype(np.int32)),
                 cond, lengths, key, n_timesteps=n_timesteps, solver=solver,
                 gradient_scale=gradient_scale, speech_prompt=False,
             )
+            mel = mel[:, :, :n_agent]
 
         mel = denormalize_mel(mel, mc)
+        # vocoder bucket: edge-replicate the last valid frame (a plausible
+        # continuation for the conv receptive fields at the seam) and slice
+        # the waveform back to the exact sample count
+        pad = bucket(n_agent) - n_agent
+        if pad:
+            mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="edge")
         wav = BV.generator(self.vocoder_params, self.vocoder_cfg, mel)
-        return np.clip(np.asarray(wav)[0, 0], -1.0, 1.0)
+        n_samples = n_agent * self.vocoder_cfg.total_upsample  # hop at full size
+        return np.clip(np.asarray(wav)[0, 0, :n_samples], -1.0, 1.0)
 
 
 def prepare_reference(
