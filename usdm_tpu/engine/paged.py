@@ -830,10 +830,14 @@ class PagedEngine:
         fused fori_loop (`paged_decode_multi`, measured on v5e) while still
         amortizing the host round-trip over n_steps tokens: each link is ONE
         dispatch of `paged_decode_step_chained` (EOS freeze + length update
-        folded into the jit).  Chains RAMP 4 -> 8 -> ... up to n_steps while
+        folded into the jit).  Chains RAMP 8 -> 16 -> ... up to n_steps while
         the decoding set is unchanged: steady-state pays one sync per
         n_steps tokens, but a request that hits EOS early wastes at most the
-        current (short) chain's tail, not a full horizon."""
+        current (short) chain's tail, not a full horizon.  In the quiet
+        single-flow state the chain is additionally RUN AHEAD depth-1: the
+        successor is dispatched from carried device state before this
+        chain's sync, so the sync RTT and absorb overlap device compute
+        (_dispatch_chain/_sync_chain; ecfg.runahead)."""
         t0 = _time.perf_counter()
         self._try_admit()
         self._acc("admit", _time.perf_counter() - t0)

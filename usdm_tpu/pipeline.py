@@ -153,16 +153,18 @@ class UsdmPipeline:
             from usdm_tpu.core.config import EngineConfig
 
             # single caller: one slot (each extra slot pads every decode
-            # dispatch), long horizon (64 halves the per-chain sync count vs
-            # 32; tail overshoot is clamped by the stage budget); 64-token
-            # pages so the stage-B/C prefix reuse keeps most of the previous
-            # stage's KV (256-token pages rounded stage B's ~250-token common
-            # prefix down to zero)
+            # dispatch); horizon 16 — with depth-1 chain run-ahead the sync
+            # RTT is hidden regardless of chain length, and SHORT chains
+            # measure faster (90 tok/s at 8/16 vs 84.5 at 32 on v5e, b=1
+            # 7B-int8) while bounding the EOS-overshoot waste at <=2 short
+            # chains; 64-token pages so the stage-B/C prefix reuse keeps most
+            # of the previous stage's KV (256-token pages rounded stage B's
+            # ~250-token common prefix down to zero)
             # prefill_chunk 512: the single caller has no admission-latency
             # concern, and halving the chunk dispatches cuts stage-A/B
             # prefill wall time (measured round 3, scripts/profile_respond)
             self._server = self.make_server(
-                EngineConfig(max_batch_size=1, decode_horizon=64,
+                EngineConfig(max_batch_size=1, decode_horizon=16,
                              page_size=64, max_pages_per_seq=128,
                              prefill_chunk=512),
                 draft=self._draft)
