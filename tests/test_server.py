@@ -304,3 +304,27 @@ def test_release_session_routed_to_loop_thread(params, rng):
     assert len(eng.free_pages) == total
     assert not eng.session_slots
     server.close()
+
+
+def test_engine_failure_fails_requests_not_callers(params):
+    import time
+    """A tick() exception (device OOM, XLA error) must surface as request
+    errors promptly — not kill the loop thread and hang callers until their
+    timeout — and later submissions must fail fast with the cause."""
+    eng = PagedEngine(params, CFG, ECFG)
+    server = EngineServer(eng)
+    try:
+        def boom():
+            raise RuntimeError("injected device failure")
+        eng.tick = boom
+        allow = np.ones(CFG.vocab_size, bool)
+        t0 = time.time()
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            server.generate([5, 6, 7], allow, eos_id=2, max_new_tokens=4,
+                            timeout=30)
+        assert time.time() - t0 < 10, "caller waited out its timeout"
+        with pytest.raises(RuntimeError, match="EngineServer failed"):
+            server.generate([5, 6, 7], allow, eos_id=2, max_new_tokens=4,
+                            timeout=30)
+    finally:
+        server.close()

@@ -46,6 +46,11 @@ class EngineServer:
         self._session_ids = itertools.count(1)
         self._running = True
         self._idle_wait_s = idle_wait_s
+        # a tick() exception (device OOM, XLA runtime error) must not kill
+        # the loop thread silently — that would hang every caller until
+        # timeout.  It is recorded here; in-flight requests get .error set,
+        # and later submissions fail fast with the same cause.
+        self._fatal: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._loop, daemon=True, name="paged-engine")
         self._thread.start()
 
@@ -137,6 +142,9 @@ class EngineServer:
         with self._cv:
             if not self._running:
                 raise RuntimeError("EngineServer is closed")
+            if self._fatal is not None:
+                raise RuntimeError(
+                    f"EngineServer failed: {self._fatal!r}") from self._fatal
             self._events[rid] = threading.Event()
             self._reqs[rid] = req
             self._inbox.append(req)
@@ -181,12 +189,24 @@ class EngineServer:
                     continue
             # engine work happens WITHOUT the lock: callers can submit while a
             # multi-token chain runs; the submission is picked up next turn
-            for s in releases:
-                self.engine.release_session(s)
-            for req in inbox:
-                self.engine.submit(req)
-            if self.engine.busy:
-                self.engine.tick()
+            try:
+                for s in releases:
+                    self.engine.release_session(s)
+                for req in inbox:
+                    self.engine.submit(req)
+                if self.engine.busy:
+                    self.engine.tick()
+            except Exception as e:  # device/XLA failure: fail requests, not callers
+                with self._cv:
+                    self._fatal = e
+                    for req in self._reqs.values():
+                        if not req.finished:
+                            req.error = f"engine failure: {type(e).__name__}: {e}"
+                            req.finished = True
+                    for ev in self._events.values():
+                        ev.set()
+                    self._cv.notify_all()
+                return  # engine state is unknown; stop ticking
             with self._cv:
                 for rid, req in list(self._reqs.items()):
                     if req.finished and rid in self._events:
