@@ -247,13 +247,19 @@ def bench_serving(n_clients: int = 8, reqs_per_client: int = 2,
     rng = np.random.default_rng(0)
     allow = np.ones(cfg.vocab_size, bool)
     allow[:3] = False  # keep EOS (id 2) unreachable under uniform sampling
+    # all prompts drawn on the MAIN thread: np.random.Generator is not
+    # thread-safe, and shared concurrent draws would make the recorded
+    # numbers non-replayable for the same seed
+    prompts = {(ci, r): rng.integers(3, 32000, prompt_len).tolist()
+               for ci in range(n_clients) for r in range(reqs_per_client)}
+    warm_prompts = [rng.integers(3, 32000, prompt_len).tolist()
+                    for _ in range(n_clients)]
 
     def client(ci, out):
         toks = 0
         for r in range(reqs_per_client):
-            prompt = rng.integers(3, 32000, prompt_len).tolist()
             toks += len(server.generate(
-                prompt, allow, eos_id=2, max_new_tokens=max_new,
+                prompts[ci, r], allow, eos_id=2, max_new_tokens=max_new,
                 seed=ci * 131 + r, timeout=600))  # greedy
         out[ci] = toks
 
@@ -264,7 +270,7 @@ def bench_serving(n_clients: int = 8, reqs_per_client: int = 2,
 
     def warm_client(ci, out):
         out[ci] = len(server.generate(
-            rng.integers(3, 32000, prompt_len).tolist(), allow,
+            warm_prompts[ci], allow,
             eos_id=2, max_new_tokens=24, seed=ci, timeout=600))
     wt = [threading.Thread(target=warm_client, args=(i, warm))
           for i in range(n_clients)]

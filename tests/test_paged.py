@@ -863,3 +863,24 @@ def test_runahead_engages(setup, rng):
         eng.tick()
         seen_inflight = seen_inflight or eng._inflight is not None
     assert seen_inflight
+
+
+def test_defer_first_gate(setup):
+    """First-token deferral must be off for streaming consumers, drafts,
+    fused multi-impl, per-token mode, and any loaded state."""
+    params = setup
+    eng = PagedEngine(params, CFG, EngineConfig(page_size=16, max_pages_per_seq=8,
+                                                max_batch_size=2, decode_horizon=8))
+    allow = np.ones(CFG.vocab_size, bool)
+    plain = Request(0, [5, 6, 7], allow, eos_id=2)
+    streaming = Request(1, [5, 6, 7], allow, eos_id=2, stream=True)
+    assert eng._defer_first_ok(plain)
+    assert not eng._defer_first_ok(streaming)
+    eng.multi_impl = "fused"
+    assert not eng._defer_first_ok(plain)
+    eng.multi_impl = "chain"
+    eng.waiting.append(plain)
+    assert not eng._defer_first_ok(plain)
+    eng.waiting.clear()
+    eng.decode_horizon = 1
+    assert not eng._defer_first_ok(plain)

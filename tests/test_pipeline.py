@@ -116,3 +116,15 @@ def test_synthesize_bucketing(pipe, rng):
     w1 = dec.synthesize([5, 9, 4], jax.random.PRNGKey(3))
     w2 = dec.synthesize([5, 9, 4], jax.random.PRNGKey(3))
     np.testing.assert_array_equal(w1, w2)
+    # frame_bucket=0 keeps EXACT shapes (the bit-matching-reference mode)
+    import dataclasses
+    exact = dataclasses.replace(dec, frame_bucket=0)
+    units = rng.integers(0, dec.voicebox_cfg.n_tokens, 5).tolist()
+    pooled, _ = expand_and_pool(np.asarray(units), mc.sampling_rate,
+                                mc.token_sr, mc.hop_size)
+    shapes.clear()
+    with mock.patch.object(VB, "generate", spy_gen), \
+            mock.patch.object(BV, "generator", spy_voc):
+        wav = exact.synthesize(units, jax.random.PRNGKey(0))
+    assert shapes == [("ode", len(pooled)), ("voc", len(pooled))], shapes
+    assert len(wav) == len(pooled) * dec.vocoder_cfg.total_upsample

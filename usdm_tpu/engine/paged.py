@@ -80,6 +80,10 @@ class Request:
     # session's previous request — the 3-stage dialog chain re-prefills only
     # each stage's new suffix instead of the whole conversation so far.
     session: Optional[int] = None
+    # a streaming consumer reads output_ids incrementally (EngineServer
+    # generate_stream): the engine then avoids latency-for-throughput trades
+    # that would delay the first visible token (first-token deferral)
+    stream: bool = False
     # filled by the engine:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -491,18 +495,13 @@ class PagedEngine:
         self.seq_lens[slot] = len(req.prompt_ids)
         self.status[slot] = DECODE
         self._hot = None
-        if (self.decode_horizon > 1 and self.multi_impl == "chain"
-                and self.draft_params is None
-                and not self.waiting and not self.prefill_order):
+        if self._defer_first_ok(req):
             # DEFER the host sync: int(tok) here would idle-wait the whole
             # prefill compute tail plus an RTT before any decode work could
             # even be dispatched.  The next chain injects the device scalar
             # as this slot's input token (_inject_first) and the host learns
             # it at the chain's single sync.  Paths that need self.tokens
-            # host-side flush synchronously first (_flush_pending).  Only in
-            # the quiet single-flow state: under load the scheduler keeps
-            # prefilling other prompts first, and a deferred sync would sit
-            # on this request's TTFT for several chunks.
+            # host-side flush synchronously first (_flush_pending).
             self._pending_first[slot] = tok
             return slot
         t_sync = _time.perf_counter()
@@ -510,6 +509,25 @@ class PagedEngine:
         self._acc("first_tok_sync", _time.perf_counter() - t_sync)
         self._record_first(slot, first)
         return slot
+
+    def _multi_next(self) -> bool:
+        """Next tick's decode will be multi-token (chain or fused): deferring
+        a post-prefill per-token decode step to it saves the per-token host
+        sync either way.  Shared by step()'s and tick()'s defer branches so
+        the predicate can't drift between copies."""
+        return self.decode_horizon > 1 and self.draft_params is None
+
+    def _defer_first_ok(self, req: Request) -> bool:
+        """Deferred-first-token gate: only the CHAIN path can absorb a
+        pending device token without an extra sync (step_multi/step flush
+        eagerly, costing what the deferral saved); only in the quiet state
+        (under load the scheduler keeps prefilling other prompts first, so a
+        deferred sync would sit on this request's TTFT for several chunks);
+        and never for streaming consumers, whose first visible token would
+        otherwise wait a full chain (~0.1-0.2 s)."""
+        return (self._multi_next() and self.multi_impl == "chain"
+                and not self.waiting and not self.prefill_order
+                and not req.stream)
 
     def _record_first(self, slot: int, first: int) -> None:
         """Host bookkeeping for a post-prefill first token (sync path and
@@ -692,10 +710,9 @@ class PagedEngine:
         if not dec.any():
             return int((self.status != FREE).sum())
         if (_defer_chain and done_slot is not None and not self.prefill_order
-                and not self.waiting and self.decode_horizon > 1
-                and self.draft_params is None):
-            # the queue just drained: let the next tick run a CHAINED decode
-            # instead of paying this step's per-token host sync
+                and not self.waiting and self._multi_next()):
+            # the queue just drained: let the next tick run a multi-token
+            # decode instead of paying this step's per-token host sync
             return int((self.status != FREE).sum())
         self._flush_pending()  # the decode below reads self.tokens host-side
         dec = self.status == DECODE  # a pending EOS may have finished a slot
@@ -1201,12 +1218,11 @@ class PagedEngine:
                     done_slot = self._prefill_tick()
                     self._try_admit()  # a completed prompt may free pages
                     if (done_slot is not None and not self.prefill_order
-                            and not self.waiting and self.decode_horizon > 1
-                            and self.draft_params is None):
+                            and not self.waiting and self._multi_next()):
                         # the queue drained INSIDE the drain loop: defer to
-                        # the next tick's chain, same as step(_defer_chain)
-                        # (falling through to step() here would pay a full
-                        # per-token-synced decode step for nothing)
+                        # the next tick's multi-token decode, same as
+                        # step(_defer_chain) (falling through to step() here
+                        # would pay a per-token-synced decode for nothing)
                         deferred = True
                         break
                     if not self.prefill_order:

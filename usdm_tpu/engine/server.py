@@ -107,7 +107,8 @@ class EngineServer:
         whole generation.  Closing the generator early does not cancel the
         request on the engine; it runs to completion in the background."""
         rid, req = self._submit(prompt_ids, allow_mask, eos_id, max_new_tokens,
-                                top_k, top_p, temperature, seed, session)
+                                top_k, top_p, temperature, seed, session,
+                                stream=True)
         seen = 0
         try:
             while True:
@@ -131,12 +132,12 @@ class EngineServer:
                 self._reqs.pop(rid, None)
 
     def _submit(self, prompt_ids, allow_mask, eos_id, max_new_tokens,
-                top_k, top_p, temperature, seed, session):
+                top_k, top_p, temperature, seed, session, stream=False):
         rid = next(self._ids)
         req = Request(
             rid, list(prompt_ids), allow_mask, eos_id, max_new_tokens,
             top_k=top_k, top_p=top_p, temperature=temperature, seed=seed,
-            session=session,
+            session=session, stream=stream,
         )
         req.t_submit = time.time()  # TTFT clock starts at caller submit time
         with self._cv:
