@@ -880,11 +880,12 @@ class PagedEngine:
             return int((self.status != FREE).sum())
         # run-ahead is only safe/useful in the quiet single-flow state: no
         # admissions or prefills pending (their per-token responsiveness
-        # path must not race an unsynced chain), no draft (spec rounds read
-        # host tokens), single device
+        # path must not race an unsynced chain) and no draft (spec rounds
+        # read host tokens).  TP chains run ahead too: the carried state
+        # (tokens/lens/done) is replicated and the shard_map'd links queue
+        # per device exactly like single-device dispatches.
         quiet = (self.ecfg.runahead and not self.waiting
-                 and not self.prefill_order and self.draft_params is None
-                 and self.mesh is None)
+                 and not self.prefill_order and self.draft_params is None)
         if fl is not None:
             meta = None
             if quiet and self._hot is not None:
