@@ -124,3 +124,20 @@ def test_batch_padding_invariance(models, rng):
     n = int(solo_len[0])
     assert int(bl[0]) == n
     np.testing.assert_array_equal(np.asarray(solo_units)[0, :n], np.asarray(bu)[0, :n])
+
+
+def test_encode_features_padding_exact(models, rng):
+    """Length-padding must be bit-invisible at the FEATURE level (not just
+    after k-means argmax): the positional conv mixes neighboring frames, so
+    without the pre-pos-conv tail zeroing the last ~width/2 valid frames of
+    a padded run would differ from an exact-length run."""
+    _, params = models
+    a = rng.standard_normal(2000).astype(np.float32) * 0.1
+    exact, el = X.encode(params, CFG, jnp.asarray(a[None]), jnp.asarray([2000]))
+    padded = np.zeros((1, 3600), np.float32)
+    padded[0, :2000] = a
+    pad_out, pl = X.encode(params, CFG, jnp.asarray(padded), jnp.asarray([2000]))
+    n = int(el[0])
+    assert int(pl[0]) == n
+    np.testing.assert_allclose(np.asarray(exact)[0, :n], np.asarray(pad_out)[0, :n],
+                               rtol=1e-6, atol=1e-6)

@@ -178,6 +178,16 @@ def encode(
     for k, s in zip(cfg.conv_kernels, cfg.conv_strides):
         feat_len = (feat_len - k) // s + 1
 
+    # zero the frames beyond feat_len BEFORE the positional conv: the conv
+    # mixes neighboring frames, and the reference zero-pads at its (exact)
+    # boundary — with the tail forced to zero, every valid frame of a
+    # length-padded batch is bit-identical to an exact-length run (attention
+    # is segment-masked and everything else is per-frame, so this is the
+    # only cross-frame leak).  Enables padding wavs to a bucketed length
+    # (bounded XLA compile set) with no fidelity cost.
+    fvalid = (jnp.arange(x.shape[1])[None, :] < feat_len[:, None]).astype(x.dtype)
+    x = x * fvalid[..., None]
+
     x = x + _pos_conv(params, cfg, x)
 
     tp = x.shape[1]
