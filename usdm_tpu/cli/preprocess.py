@@ -37,8 +37,10 @@ def _build_unit_extractor(args):
     params, cfg = ckpt.load_xlsr(args.xlsr_dir, args.kmeans)
 
     def extract(wav: np.ndarray):
-        units, ulen = XL.extract_units(params, cfg, jnp.asarray(wav[None].astype(np.float32)))
-        return np.asarray(units)[0, : int(ulen[0])].tolist()
+        # bucketed: a corpus of arbitrary-length clips would otherwise
+        # compile one XLS-R program per distinct length (lossless; see
+        # xlsr.extract_units_bucketed)
+        return XL.extract_units_bucketed(params, cfg, wav)
 
     return extract
 

@@ -118,8 +118,9 @@ def prepare_reference(
     reference-prompt construction of model_util.py:77-90: units at 16 kHz,
     mel at 22.05 kHz truncated to the pooled-unit sample length."""
     wav16, _ = load_wav(reference_path, sr=xlsr_cfg.sample_rate)
-    units, ulen = XL.extract_units(xlsr_params, xlsr_cfg, jnp.asarray(wav16[None]))
-    units = np.asarray(units)[0, : int(ulen[0])]
+    # bucketed: serving sees arbitrary reference-audio lengths, and each
+    # distinct length would compile a fresh 48-layer XLS-R program
+    units = np.asarray(XL.extract_units_bucketed(xlsr_params, xlsr_cfg, wav16))
     pooled, new_length = expand_and_pool(units, mel_cfg.sampling_rate, mel_cfg.token_sr, mel_cfg.hop_size)
 
     wav22, _ = load_wav(reference_path, sr=mel_cfg.sampling_rate)

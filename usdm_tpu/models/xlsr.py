@@ -240,6 +240,24 @@ def extract_units(
     return units, feat_len
 
 
+def extract_units_bucketed(params: Params, cfg: XlsrConfig, wav,
+                           bucket_s: float = 0.5) -> list:
+    """extract_units with the wav zero-padded up to a `bucket_s`-second
+    multiple: every DISTINCT input length otherwise compiles a fresh XLA
+    program for the 48-layer stack (~30 s+), and serving/preprocessing see
+    arbitrary lengths.  Lossless: encode() masks the padded tail (attention
+    segments + pre-pos-conv zeroing), so the valid units are bit-identical
+    to an exact-length run (tests/test_xlsr.py feature-level test)."""
+    wav = np.asarray(wav, np.float32)
+    bucket = max(int(cfg.sample_rate * bucket_s), 1)
+    n = len(wav)
+    padded = np.zeros(-(-max(n, 1) // bucket) * bucket, np.float32)
+    padded[:n] = wav
+    units, ulen = extract_units(params, cfg, jnp.asarray(padded[None]),
+                                lengths=jnp.asarray([n], jnp.int32))
+    return np.asarray(units)[0, : int(ulen[0])].tolist()
+
+
 def load_kmeans(params: Params, npy_path: str) -> Params:
     """Attach reference k-means centroids (kmeans_10k.npy: [K, D])."""
     cents = np.load(npy_path)

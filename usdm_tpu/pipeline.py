@@ -99,20 +99,9 @@ class UsdmPipeline:
 
     # ------------------------------------------------------------------ api
     def extract_units(self, wav: np.ndarray) -> list[int]:
-        # pad to a half-second bucket: every DISTINCT wav length otherwise
-        # compiles a fresh XLA program for the 48-layer XLS-R stack (~30 s+),
-        # and serving sees arbitrary upload lengths.  encode() masks the
-        # padded tail (attention segments + pre-pos-conv zeroing), so valid
-        # units are bit-identical to an exact-length run.
-        bucket = max(self.xlsr_cfg.sample_rate // 2, 1)
-        n = len(wav)
-        padded = np.zeros(-(-max(n, 1) // bucket) * bucket, np.float32)
-        padded[:n] = wav
-        units, ulen = XL.extract_units(
-            self.xlsr_params, self.xlsr_cfg, jnp.asarray(padded[None]),
-            lengths=jnp.asarray([n], jnp.int32),
-        )
-        return np.asarray(units)[0, : int(ulen[0])].tolist()
+        # bucketed: serving sees arbitrary upload lengths (see
+        # xlsr.extract_units_bucketed — lossless, bounded compile set)
+        return XL.extract_units_bucketed(self.xlsr_params, self.xlsr_cfg, wav)
 
     def make_server(self, ecfg=None, tp: int = 1, draft=None):
         """Spin up the continuous-batching serving engine over the LM.
