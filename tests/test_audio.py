@@ -101,3 +101,18 @@ def test_dedup_units_roundtrip():
     rebuilt = [x for uu, dd in zip(u, d) for x in [uu] * dd]
     assert rebuilt == units
     assert dedup_units([]) == ([], [])
+
+
+def test_mel_bucketed_matches_exact(rng):
+    """mel_for_config_bucketed must be bit-identical to the exact-length mel
+    on the valid frames for several off-bucket lengths."""
+    from usdm_tpu.audio.mel import mel_for_config, mel_for_config_bucketed
+    from usdm_tpu.core.config import MelConfig
+
+    cfg = MelConfig()
+    for n in (9984, 22016, 30208):  # hop multiples, off the 0.5 s bucket
+        wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        exact = np.asarray(mel_for_config(jnp.asarray(wav[None]), cfg))
+        bucketed = mel_for_config_bucketed(wav, cfg)
+        assert bucketed.shape == exact.shape, (bucketed.shape, exact.shape)
+        np.testing.assert_allclose(bucketed, exact, rtol=1e-6, atol=1e-6)

@@ -137,6 +137,42 @@ def mel_for_config(y: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     )
 
 
+@partial(jax.jit, static_argnames=("n_fft", "num_mels", "sampling_rate",
+                                   "hop_size", "win_size", "fmin", "fmax"))
+def _mel_prepadded(y, n_fft, num_mels, sampling_rate, hop_size, win_size,
+                   fmin, fmax):
+    """mel_spectrogram whose input is ALREADY center-padded by the caller
+    (no internal reflect pad) — the bucketing seam below."""
+    basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax))
+    mag = stft_magnitude(y, n_fft, hop_size, win_size)
+    mel = jnp.einsum("mf,...ft->...mt", basis, mag,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.log(jnp.clip(mel, min=1e-5))
+
+
+def mel_for_config_bucketed(wav: np.ndarray, cfg: MelConfig,
+                            bucket_s: float = 0.5) -> np.ndarray:
+    """mel_for_config for a 1-D host wav with the XLA program compiled at a
+    BUCKETED length (each distinct input length otherwise compiles fresh —
+    serving sees arbitrary reference-audio lengths).
+
+    Bit-identical to the exact-length mel on the valid frames: the reflect
+    center-pad happens HERE at the true length (numpy), zeros extend the
+    signal to the bucket, and every valid frame's window lies inside the
+    true reflect-padded span, so the zeros are never read by them."""
+    pad = int((cfg.n_fft - cfg.hop_size) // 2)
+    n = len(wav)
+    y = np.pad(np.asarray(wav, np.float32), (pad, pad), mode="reflect")
+    bucket = max(int(cfg.sampling_rate * bucket_s), 1)
+    full = np.zeros(-(-max(n, 1) // bucket) * bucket + 2 * pad, np.float32)
+    full[: len(y)] = y
+    n_frames = 1 + (n + 2 * pad - cfg.win_size) // cfg.hop_size
+    mel = _mel_prepadded(jnp.asarray(full[None]), cfg.n_fft, cfg.num_mels,
+                         cfg.sampling_rate, cfg.hop_size, cfg.win_size,
+                         cfg.fmin, cfg.fmax)
+    return np.asarray(mel)[:, :, :n_frames]
+
+
 def normalize_mel(mel: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     return (mel - cfg.mel_mean) / cfg.mel_std
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from usdm_tpu.audio.mel import mel_for_config, normalize_mel, denormalize_mel
+from usdm_tpu.audio.mel import mel_for_config_bucketed, normalize_mel, denormalize_mel
 from usdm_tpu.audio.units import expand_and_pool
 from usdm_tpu.audio.wav import load_wav
 from usdm_tpu.core.config import BigVGANConfig, MelConfig, VoiceboxConfig, XlsrConfig
@@ -127,7 +127,10 @@ def prepare_reference(
     if len(wav22) < new_length:
         wav22 = np.pad(wav22, (0, new_length - len(wav22)))
     wav22 = wav22[:new_length]
-    mel = mel_for_config(jnp.asarray(np.clip(wav22, -1.0, 1.0)[None]), mel_cfg)
+    # bucketed mel (like the unit extraction above): one XLA program per
+    # length bucket instead of per distinct reference length, bit-identical
+    # on the valid frames
+    mel = mel_for_config_bucketed(np.clip(wav22, -1.0, 1.0), mel_cfg)
     mel = normalize_mel(mel, mel_cfg)
     n = min(len(pooled), mel.shape[-1])
     return pooled[:n], np.asarray(mel)[:, :, :n]
