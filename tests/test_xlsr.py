@@ -141,3 +141,11 @@ def test_encode_features_padding_exact(models, rng):
     assert int(pl[0]) == n
     np.testing.assert_allclose(np.asarray(exact)[0, :n], np.asarray(pad_out)[0, :n],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_extract_units_bucketed_degenerate(models):
+    """Empty / sub-kernel-length wavs must yield ZERO units, not a bucket of
+    garbage (negative feat_len used to slice as [:-1])."""
+    _, params = models
+    for n in (0, 1, CFG.conv_kernels[0] - 1):
+        assert X.extract_units_bucketed(params, CFG, np.zeros(n, np.float32)) == []

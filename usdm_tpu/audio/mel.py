@@ -104,7 +104,9 @@ def _reflect_pad_last(y: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
 
 
-@partial(jax.jit, static_argnames=("n_fft", "num_mels", "sampling_rate", "hop_size", "win_size", "fmin", "fmax"))
+@partial(jax.jit, static_argnames=("n_fft", "num_mels", "sampling_rate",
+                                   "hop_size", "win_size", "fmin", "fmax",
+                                   "center_pad"))
 def mel_spectrogram(
     y: jnp.ndarray,
     n_fft: int = 1024,
@@ -114,16 +116,18 @@ def mel_spectrogram(
     win_size: int = 1024,
     fmin: float = 0.0,
     fmax: float = 8000.0,
+    center_pad: bool = True,
 ) -> jnp.ndarray:
     """[..., T] waveform in [-1, 1] -> [..., num_mels, T//hop] log-mel.
 
     Matches reference meldataset.py:55-78 (center=False path): reflect-pad by
     (n_fft - hop)/2 on both sides so output frame count is floor(T/hop) for T
-    a hop multiple.
+    a hop multiple.  `center_pad=False` skips that pad for callers that
+    already applied it host-side (mel_for_config_bucketed).
     """
     basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax))
-    pad = int((n_fft - hop_size) // 2)
-    y = _reflect_pad_last(y, pad)
+    if center_pad:
+        y = _reflect_pad_last(y, int((n_fft - hop_size) // 2))
     mag = stft_magnitude(y, n_fft, hop_size, win_size)  # [..., n_freq, F]
     # Explicit highest precision: XLA's DEFAULT matmul precision can compute
     # f32 dots at bf16 accuracy, which is audible in log-mel space.
@@ -137,19 +141,6 @@ def mel_for_config(y: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("n_fft", "num_mels", "sampling_rate",
-                                   "hop_size", "win_size", "fmin", "fmax"))
-def _mel_prepadded(y, n_fft, num_mels, sampling_rate, hop_size, win_size,
-                   fmin, fmax):
-    """mel_spectrogram whose input is ALREADY center-padded by the caller
-    (no internal reflect pad) — the bucketing seam below."""
-    basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax))
-    mag = stft_magnitude(y, n_fft, hop_size, win_size)
-    mel = jnp.einsum("mf,...ft->...mt", basis, mag,
-                     precision=jax.lax.Precision.HIGHEST)
-    return jnp.log(jnp.clip(mel, min=1e-5))
-
-
 def mel_for_config_bucketed(wav: np.ndarray, cfg: MelConfig,
                             bucket_s: float = 0.5) -> np.ndarray:
     """mel_for_config for a 1-D host wav with the XLA program compiled at a
@@ -160,16 +151,18 @@ def mel_for_config_bucketed(wav: np.ndarray, cfg: MelConfig,
     center-pad happens HERE at the true length (numpy), zeros extend the
     signal to the bucket, and every valid frame's window lies inside the
     true reflect-padded span, so the zeros are never read by them."""
+    from usdm_tpu.audio.wav import ceil_to
+
     pad = int((cfg.n_fft - cfg.hop_size) // 2)
     n = len(wav)
     y = np.pad(np.asarray(wav, np.float32), (pad, pad), mode="reflect")
-    bucket = max(int(cfg.sampling_rate * bucket_s), 1)
-    full = np.zeros(-(-max(n, 1) // bucket) * bucket + 2 * pad, np.float32)
+    full = np.zeros(ceil_to(n, max(int(cfg.sampling_rate * bucket_s), 1))
+                    + 2 * pad, np.float32)
     full[: len(y)] = y
     n_frames = 1 + (n + 2 * pad - cfg.win_size) // cfg.hop_size
-    mel = _mel_prepadded(jnp.asarray(full[None]), cfg.n_fft, cfg.num_mels,
-                         cfg.sampling_rate, cfg.hop_size, cfg.win_size,
-                         cfg.fmin, cfg.fmax)
+    mel = mel_spectrogram(jnp.asarray(full[None]), cfg.n_fft, cfg.num_mels,
+                          cfg.sampling_rate, cfg.hop_size, cfg.win_size,
+                          cfg.fmin, cfg.fmax, center_pad=False)
     return np.asarray(mel)[:, :, :n_frames]
 
 

@@ -55,3 +55,22 @@ def load_wav(path: str, sr: int | None = None) -> Tuple[np.ndarray, int]:
         wav = resample(wav, orig, sr)
         orig = sr
     return wav, orig
+
+
+def ceil_to(n: int, b: int) -> int:
+    """Smallest positive multiple of `b` that is >= n (at least b)."""
+    return -(-max(n, 1) // b) * b
+
+
+def pad_to_bucket(wav: np.ndarray, sample_rate: int,
+                  bucket_s: float = 0.5) -> Tuple[np.ndarray, int]:
+    """Zero-pad a 1-D wav up to a `bucket_s`-second multiple ->
+    (padded, true_length).  Shared by the bucketed-compile paths (XLS-R
+    units, reference mel): one XLA program per length bucket instead of one
+    per distinct audio length."""
+    wav = np.asarray(wav, np.float32)
+    bucket = max(int(sample_rate * bucket_s), 1)
+    n = len(wav)
+    padded = np.zeros(ceil_to(n, bucket), np.float32)
+    padded[:n] = wav
+    return padded, n

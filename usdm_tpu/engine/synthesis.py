@@ -65,9 +65,11 @@ class SpeechDecoder:
         if n_agent == 0:
             return np.zeros(0, np.float32)
 
+        from usdm_tpu.audio.wav import ceil_to
+
         def bucket(n: int) -> int:
             b = self.frame_bucket
-            return -(-n // b) * b if b else n
+            return ceil_to(n, b) if b else n
 
         if reference is not None:
             ref_units, ref_mel = reference

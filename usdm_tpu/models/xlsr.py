@@ -176,7 +176,9 @@ def encode(
 
     feat_len = lengths
     for k, s in zip(cfg.conv_kernels, cfg.conv_strides):
-        feat_len = (feat_len - k) // s + 1
+        # clamp per stage: a sub-kernel-length input must yield 0 frames,
+        # not a negative count that later slicing misreads as "almost all"
+        feat_len = jnp.maximum((feat_len - k) // s + 1, 0)
 
     # zero the frames beyond feat_len BEFORE the positional conv: the conv
     # mixes neighboring frames, and the reference zero-pads at its (exact)
@@ -248,14 +250,15 @@ def extract_units_bucketed(params: Params, cfg: XlsrConfig, wav,
     arbitrary lengths.  Lossless: encode() masks the padded tail (attention
     segments + pre-pos-conv zeroing), so the valid units are bit-identical
     to an exact-length run (tests/test_xlsr.py feature-level test)."""
+    from usdm_tpu.audio.wav import pad_to_bucket
+
     wav = np.asarray(wav, np.float32)
-    bucket = max(int(cfg.sample_rate * bucket_s), 1)
-    n = len(wav)
-    padded = np.zeros(-(-max(n, 1) // bucket) * bucket, np.float32)
-    padded[:n] = wav
+    if len(wav) < cfg.conv_kernels[0]:
+        return []  # shorter than one conv window: zero frames
+    padded, n = pad_to_bucket(wav, cfg.sample_rate, bucket_s)
     units, ulen = extract_units(params, cfg, jnp.asarray(padded[None]),
                                 lengths=jnp.asarray([n], jnp.int32))
-    return np.asarray(units)[0, : int(ulen[0])].tolist()
+    return np.asarray(units)[0, : max(int(ulen[0]), 0)].tolist()
 
 
 def load_kmeans(params: Params, npy_path: str) -> Params:
