@@ -14,7 +14,14 @@ Measured 2026-08-18 (v5e over tunnel, 7B-int8, 1219-token context, 256 new):
     horizon  64 runahead=1: 86.5 tok/s
     horizon  32 runahead=0: 83.0 tok/s
 
--> the single-caller pipeline (pipeline._dialog_server) runs horizon 16.
+and the EOS-overshoot check (--eos; EOS fires at token 101 of a 200 budget):
+
+    EOS-ended (101 toks) runahead=1: 73.8 tok/s
+    EOS-ended (101 toks) runahead=0: 71.8 tok/s
+
+-> run-ahead wins even for EOS-ended requests at horizon 16 (the bounded
+overshoot costs less than the per-chain sync savings); the single-caller
+pipeline (pipeline._dialog_server) runs horizon 16.
 
 Run: python scripts/bench_runahead.py
 """
@@ -69,5 +76,61 @@ def main():
     run(32, False)
 
 
+
+
+def eos_overshoot():
+    """Measure the run-ahead EOS-overshoot cost: requests that stop at EOS
+    (not their budget) leave the in-flight successor chain's links computing
+    frozen no-ops.  Uses a probe run to find a token whose FIRST greedy
+    occurrence is mid-budget, then re-runs with it as the EOS."""
+    import jax
+    import numpy as np
+
+    from usdm_tpu.core.config import EngineConfig, MistralConfig
+    from usdm_tpu.engine.paged import PagedEngine, Request
+    from usdm_tpu.models import mistral as M
+    from usdm_tpu.models.quant import quantize_llm_params
+
+    cfg = MistralConfig()
+    params = jax.jit(lambda: quantize_llm_params(
+        M.init_params(cfg, jax.random.PRNGKey(0))))()
+    rng = np.random.default_rng(7)
+    allow = np.ones(cfg.vocab_size, bool)
+    allow[:3] = False
+    prompt = rng.integers(3, 32000, 1219).tolist()
+
+    def engine(runahead):
+        return PagedEngine(params, cfg, EngineConfig(
+            page_size=64, max_pages_per_seq=24, max_batch_size=1,
+            prefill_chunk=256, decode_horizon=16, runahead=runahead))
+
+    eng = engine(True)
+    probe = Request(0, list(prompt), allow, eos_id=2, max_new_tokens=200)
+    eng.run([probe])
+    first_at = {}
+    for i, t in enumerate(probe.output_ids):
+        first_at.setdefault(t, i)
+    # a token first emitted mid-run: re-running with it as EOS stops there
+    eos_tok, stop_at = min(((t, i) for t, i in first_at.items() if i >= 100),
+                           key=lambda p: p[1])
+    print(f"probe: eos candidate {eos_tok} first at position {stop_at}")
+
+    import time
+    for runahead in (True, False):
+        eng = engine(runahead)
+        warm = Request(1, list(prompt), allow, eos_id=eos_tok, max_new_tokens=200)
+        eng.run([warm])
+        best = float("inf")
+        for i in range(2):
+            r = Request(2 + i, list(prompt), allow, eos_id=eos_tok,
+                        max_new_tokens=200)
+            t0 = time.perf_counter()
+            eng.run([r])
+            best = min(best, time.perf_counter() - t0)
+        n = len(r.output_ids)
+        print(f"EOS-ended ({n} toks) runahead={int(runahead)}: {best:.3f}s "
+              f"= {n / best:.1f} tok/s", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    eos_overshoot() if "--eos" in sys.argv else main()
