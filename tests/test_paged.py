@@ -884,3 +884,33 @@ def test_defer_first_gate(setup):
     eng.waiting.clear()
     eng.decode_horizon = 1
     assert not eng._defer_first_ok(plain)
+
+
+def test_tp_runahead_matches_single_device(setup, rng):
+    """Chain run-ahead must engage under TP (the mesh gate was removed) and
+    stay output-invisible: a tp=2 virtual-mesh engine with run-ahead emits
+    exactly what the single-device no-run-ahead engine emits."""
+    from usdm_tpu.engine.tp import make_tp_mesh
+
+    params = setup
+    mesh = make_tp_mesh(2)
+    prompt = rng.integers(3, CFG.vocab_size, size=9).tolist()
+    allow = np.ones(CFG.vocab_size, bool)
+    base_cfg = dict(page_size=16, max_pages_per_seq=8, max_batch_size=1,
+                    decode_horizon=8)
+
+    with jax.default_matmul_precision("highest"):
+        solo = PagedEngine(params, CFG, EngineConfig(runahead=False, **base_cfg))
+        a = Request(0, list(prompt), allow, eos_id=2, max_new_tokens=24)
+        solo.run([a])
+
+        engtp = PagedEngine(params, CFG, EngineConfig(runahead=True, **base_cfg),
+                            mesh=mesh)
+        b = Request(1, list(prompt), allow, eos_id=2, max_new_tokens=24)
+        engtp.submit(b)
+        seen_inflight = False
+        while engtp.busy:
+            engtp.tick()
+            seen_inflight = seen_inflight or engtp._inflight is not None
+    assert seen_inflight, "run-ahead never engaged under TP"
+    assert a.output_ids == b.output_ids
