@@ -182,9 +182,10 @@ def bench_pipeline():
     # same seed for warm-up and timing: identical prompts reuse the padded-
     # bucket compilations, so the timed calls measure steady-state serving
     # (a varying seed would time fresh XLA compiles, not the pipeline).
-    # min of 2 timed runs: tunnel jitter adds up to ~3% run-to-run noise
+    # min of 3 timed runs: tunnel jitter adds up to ~3% run-to-run noise,
+    # and the driver records a single invocation of this bench
     once(1)
-    wall, n_units = min(once(1), once(1))
+    wall, n_units = min(once(1), once(1), once(1))
     pipe.close()
     audio_s = n_units * round(22050 / 50) / 22050.0
     assert n_units > 100, f"degenerate bench run: only {n_units} units"
