@@ -116,3 +116,27 @@ def test_mel_bucketed_matches_exact(rng):
         bucketed = mel_for_config_bucketed(wav, cfg)
         assert bucketed.shape == exact.shape, (bucketed.shape, exact.shape)
         np.testing.assert_allclose(bucketed, exact, rtol=1e-6, atol=1e-6)
+
+
+def test_bucket_helpers():
+    from usdm_tpu.audio.wav import ceil_to, pad_to_bucket
+
+    assert ceil_to(0, 8) == 8 and ceil_to(1, 8) == 8 and ceil_to(8, 8) == 8
+    assert ceil_to(9, 8) == 16
+    padded, n = pad_to_bucket(np.ones(3, np.float32), 16, bucket_s=0.5)
+    assert n == 3 and len(padded) == 8 and padded[:3].sum() == 3 and padded[3:].sum() == 0
+
+
+def test_mel_bucketed_off_hop_lengths(rng):
+    """Off-hop-multiple lengths too: frame-count formula and valid-frame
+    equality must hold for arbitrary wav lengths."""
+    from usdm_tpu.audio.mel import mel_for_config, mel_for_config_bucketed
+    from usdm_tpu.core.config import MelConfig
+
+    cfg = MelConfig()
+    for n in (1234, 9999, 30001):
+        wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        exact = np.asarray(mel_for_config(jnp.asarray(wav[None]), cfg))
+        bucketed = mel_for_config_bucketed(wav, cfg)
+        assert bucketed.shape == exact.shape, (n, bucketed.shape, exact.shape)
+        np.testing.assert_allclose(bucketed, exact, rtol=1e-6, atol=1e-6)

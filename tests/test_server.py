@@ -328,3 +328,22 @@ def test_engine_failure_fails_requests_not_callers(params):
                             timeout=30)
     finally:
         server.close()
+
+
+def test_stream_first_yield_is_eager(params):
+    """A quiet streaming request must surface its FIRST token promptly (one
+    token in the first delta) — streaming requests opt out of first-token
+    deferral, which would otherwise hold it for a whole decode chain."""
+    eng = PagedEngine(params, CFG, EngineConfig(page_size=16, max_pages_per_seq=8,
+                                                max_batch_size=2, decode_horizon=8))
+    server = EngineServer(eng)
+    try:
+        allow = np.ones(CFG.vocab_size, bool)
+        deltas = list(server.generate_stream([5, 6, 7, 8], allow, eos_id=2,
+                                             max_new_tokens=20, timeout=60))
+        assert len(deltas[0]) == 1, deltas
+        assert sum(len(d) for d in deltas) == len(
+            server.generate([5, 6, 7, 8], allow, eos_id=2, max_new_tokens=20,
+                            timeout=60))
+    finally:
+        server.close()
