@@ -370,8 +370,11 @@ def main(argv=None) -> int:
     p.add_argument("--spec_k", type=int, default=4,
                    help="draft tokens per speculative round")
     p.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16",
-                   help="KV page pool dtype: int8 halves page HBM and "
-                        "attention-read traffic (vLLM fp8-KV analog)")
+                   help="KV page pool dtype: int8 halves page HBM (capacity "
+                        "lever; vLLM fp8-KV analog)")
+    p.add_argument("--no_runahead", action="store_true",
+                   help="disable depth-1 chain run-ahead (debug: serializes "
+                        "each decode chain's host sync)")
     args = p.parse_args(argv)
 
     from usdm_tpu.core.config import EngineConfig
@@ -402,6 +405,7 @@ def main(argv=None) -> int:
             prefill_chunk=args.prefill_chunk,
             spec_k=args.spec_k,
             kv_dtype=None if args.kv_dtype == "bf16" else args.kv_dtype,
+            runahead=not args.no_runahead,
         ), tp=args.tp, draft=draft)
 
     httpd = ThreadingHTTPServer(
