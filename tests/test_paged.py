@@ -914,3 +914,32 @@ def test_tp_runahead_matches_single_device(setup, rng):
             seen_inflight = seen_inflight or engtp._inflight is not None
     assert seen_inflight, "run-ahead never engaged under TP"
     assert a.output_ids == b.output_ids
+
+
+def test_release_session_before_followup_admits(setup, rng):
+    """Releasing a session while its follow-up is still WAITING must fall
+    back to a clean full prefill (no stale-hold reuse), with output equal to
+    a fresh solo run."""
+    params = setup
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ECFG)
+        p1 = rng.integers(3, CFG.vocab_size, size=9).tolist()
+        r1 = Request(0, list(p1), np.ones(CFG.vocab_size, bool), eos_id=2,
+                     max_new_tokens=6, session=42)
+        eng.run([r1])
+        p2 = p1 + r1.output_ids + rng.integers(3, CFG.vocab_size, size=5).tolist()
+        r2 = Request(1, list(p2), np.ones(CFG.vocab_size, bool), eos_id=2,
+                     max_new_tokens=6, session=42)
+        eng.submit(r2)
+        eng.release_session(42)  # before r2 is admitted
+        while eng.busy:
+            eng.tick()
+
+        solo = PagedEngine(params, CFG, ECFG)
+        c = Request(2, list(p2), np.ones(CFG.vocab_size, bool), eos_id=2,
+                    max_new_tokens=6)
+        solo.run([c])
+    assert r2.finished and r2.error is None
+    assert r2.output_ids == c.output_ids
+    eng.release_session(42)  # idempotent no-op
+    assert len(eng.free_pages) == eng.n_pages - 1
