@@ -943,3 +943,36 @@ def test_release_session_before_followup_admits(setup, rng):
     assert r2.output_ids == c.output_ids
     eng.release_session(42)  # idempotent no-op
     assert len(eng.free_pages) == eng.n_pages - 1
+
+
+def test_window_reclaimed_hold_not_reused(rng):
+    """A held session whose leading pages were window-reclaimed must NOT be
+    prefix-reused (a shorter successor's window could reach below the freed
+    region): the follow-up full-prefills and still matches a fresh solo run."""
+    cfg = CFG.replace(sliding_window=16)
+    ecfg = EngineConfig(page_size=8, max_pages_per_seq=16, max_batch_size=2)
+    params = M.init_params(cfg, jax.random.PRNGKey(1), dtype="float32")
+    prompt = rng.integers(3, cfg.vocab_size, size=20).tolist()
+    allow = np.ones(cfg.vocab_size, bool)
+
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, cfg, ecfg)
+        r1 = Request(0, list(prompt), allow, eos_id=2, max_new_tokens=40,
+                     session=9)
+        eng.run([r1])
+        assert int(eng.released[eng.session_slots[9]]) > 0, (
+            "geometry no longer triggers reclaim; test needs updating")
+        p2 = prompt + r1.output_ids + rng.integers(3, cfg.vocab_size, size=4).tolist()
+        r2 = Request(1, list(p2), allow, eos_id=2, max_new_tokens=6, session=9)
+        chunks0 = eng.prefill_chunks
+        eng.run([r2])
+        # full prefill (no chunk-skipping reuse): every chunk of p2 ran
+        c = ecfg.prefill_chunk
+        assert eng.prefill_chunks - chunks0 >= -(-len(p2) // c)
+
+        solo = PagedEngine(params, cfg, ecfg)
+        sc = Request(2, list(p2), allow, eos_id=2, max_new_tokens=6)
+        solo.run([sc])
+    assert r2.output_ids == sc.output_ids
+    eng.release_session(9)
+    assert len(eng.free_pages) == eng.n_pages - 1
