@@ -13,7 +13,6 @@ import dataclasses
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from usdm_tpu.audio.wav import load_wav, write_wav
