@@ -648,6 +648,169 @@ def test_draft_engine_never_chains_without_mirroring(setup, rng):
         assert eng.spec_rounds == 0
 
 
+# ------------------------------------------------------- ngram speculation
+
+
+def test_ngram_propose_matches_and_falls_back():
+    """Unit test of the prompt-lookup proposal: longest-suffix match wins,
+    continuation comes from history, and a no-match suffix falls back to
+    repeating the current token."""
+    from usdm_tpu.engine.paged_ops import ngram_propose
+
+    hist = np.zeros((2, 16), np.int32)
+    hist[0, :6] = [10, 11, 12, 13, 10, 11]  # suffix [10, 11] recurs at 0..1
+    hist[1, :4] = [1, 2, 3, 4]  # token 4 never recurs
+    hist_len = jnp.asarray([6, 4], jnp.int32)
+    cur = jnp.asarray([11, 4], jnp.int32)
+    props = np.asarray(ngram_propose(jnp.asarray(hist), hist_len, cur,
+                                     k=3, max_n=3))
+    assert props[0].tolist() == [12, 13, 10]  # continuation after the match
+    assert props[1].tolist() == [4, 4, 4]  # repeat-current fallback
+
+
+def test_ngram_propose_prefers_longest_then_latest():
+    """A longer suffix match beats a more recent shorter one; equal lengths
+    tie-break to the most recent occurrence."""
+    from usdm_tpu.engine.paged_ops import ngram_propose
+
+    # suffix is [7, 8, 9]; [8, 9] occurs later (at 6..7) but [7, 8, 9]
+    # occurs earlier (at 0..2) — the 3-gram must win
+    hist = np.zeros((1, 20), np.int32)
+    hist[0, :12] = [7, 8, 9, 50, 0, 0, 8, 9, 60, 7, 8, 9]
+    props = np.asarray(ngram_propose(
+        jnp.asarray(hist), jnp.asarray([12]), jnp.asarray([9]), k=2, max_n=3))
+    assert props[0].tolist() == [50, 0]
+
+
+@pytest.mark.parametrize("prompt_kind", ["cyclic", "random"])
+def test_ngram_output_equals_greedy(setup, rng, prompt_kind):
+    """Draft-free prompt-lookup speculation is LOSSLESS: outputs equal plain
+    greedy decode whether the history repeats (high acceptance) or not
+    (pure fallback proposals)."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=2,
+                        prefill_chunk=16, spec_k=4)
+    if prompt_kind == "cyclic":
+        base_p = (list(rng.integers(3, CFG.vocab_size, size=4)) * 4)[:14]
+        prompts = [base_p, (list(rng.integers(3, 96, size=3)) * 5)[:13]]
+    else:
+        prompts = [rng.integers(3, CFG.vocab_size, size=11 + i).tolist()
+                   for i in range(2)]
+    with jax.default_matmul_precision("highest"):
+        e_plain = PagedEngine(params, CFG, ecfg.replace(spec_k=0))
+        e_ng = PagedEngine(params, CFG, ecfg, draft="ngram")
+        reqs_a = [Request(i, list(p), np.ones(CFG.vocab_size, bool), 2, 13)
+                  for i, p in enumerate(prompts)]
+        reqs_b = [Request(i, list(p), np.ones(CFG.vocab_size, bool), 2, 13)
+                  for i, p in enumerate(prompts)]
+        e_plain.run(reqs_a)
+        e_ng.run(reqs_b)
+    for a, b in zip(reqs_a, reqs_b):
+        assert a.output_ids == b.output_ids, (a.output_ids, b.output_ids)
+    assert e_ng.spec_rounds > 0  # the ngram path actually ran
+    assert e_ng.draft_params is None  # no draft model involved
+
+
+def test_ngram_respects_eos_and_budget(setup, rng):
+    """EOS inside an accepted ngram run truncates exactly like plain greedy."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=1,
+                        prefill_chunk=16, spec_k=4)
+    prompt = rng.integers(3, CFG.vocab_size, size=9).tolist()
+    allow = np.ones(CFG.vocab_size, bool)
+    with jax.default_matmul_precision("highest"):
+        probe = Request(0, list(prompt), allow, eos_id=-1, max_new_tokens=12)
+        PagedEngine(params, CFG, ecfg.replace(spec_k=0)).run([probe])
+        eos = probe.output_ids[3]
+        ra = Request(1, list(prompt), allow, eos_id=eos, max_new_tokens=12)
+        rb = Request(2, list(prompt), allow, eos_id=eos, max_new_tokens=12)
+        PagedEngine(params, CFG, ecfg.replace(spec_k=0)).run([ra])
+        PagedEngine(params, CFG, ecfg, draft="ngram").run([rb])
+    assert ra.output_ids == rb.output_ids
+    assert ra.output_ids[-1] == eos
+
+
+def test_ngram_high_acceptance_on_cyclic_model_output(setup, rng):
+    """On a stream whose continuation IS a repeat of history (forced by a
+    2-token allow mask so greedy decode cycles), lookup proposals accept
+    nearly everything: emitted-per-round must clearly beat 1 (the plain-step
+    floor).  This is the stage-C unit-stream shape (50 Hz, no dedup)."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=1,
+                        prefill_chunk=16, spec_k=4)
+    allow = np.zeros(CFG.vocab_size, bool)
+    allow[40:42] = True  # binary stream -> short cycle, heavy repeats
+    prompt = rng.integers(3, CFG.vocab_size, size=8).tolist()
+    with jax.default_matmul_precision("highest"):
+        e_ng = PagedEngine(params, CFG, ecfg, draft="ngram")
+        r = Request(0, list(prompt), allow, eos_id=2, max_new_tokens=30)
+        e_ng.run([r])
+    assert r.finished and len(r.output_ids) == 30
+    assert e_ng.spec_rounds > 0
+    accept = e_ng.spec_emitted / e_ng.spec_rounds
+    assert accept > 2.0, f"acceptance {accept} too low on a cyclic stream"
+
+
+def test_ngram_mixed_paths_history_stays_consistent(setup, rng):
+    """Staggered arrivals force transitions between prefill / chained decode
+    / ngram rounds; the device history must be rebuilt across them (stale
+    history would still be lossless but this asserts outputs AND that
+    speculation re-engages after a non-spec interlude)."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=2,
+                        prefill_chunk=16, spec_k=3)
+    allow = np.ones(CFG.vocab_size, bool)
+    prompts = [rng.integers(3, CFG.vocab_size, size=10 + i).tolist()
+               for i in range(3)]
+    with jax.default_matmul_precision("highest"):
+        solo = []
+        for i, p in enumerate(prompts):
+            e = PagedEngine(params, CFG, ecfg.replace(spec_k=0))
+            r = Request(i, list(p), allow, 2, 11)
+            e.run([r])
+            solo.append(r.output_ids)
+        eng = PagedEngine(params, CFG, ecfg, draft="ngram")
+        reqs = [Request(i, list(p), allow, 2, 11) for i, p in enumerate(prompts)]
+        eng.submit(reqs[0])
+        eng.tick()  # prefill r0
+        eng.submit(reqs[1])  # arrives mid-flight: forces a non-spec interlude
+        while eng.busy and not reqs[1].finished:
+            eng.tick()
+        eng.submit(reqs[2])
+        while eng.busy:
+            eng.tick()
+        eng.drain_inflight()
+    for r, s in zip(reqs, solo):
+        assert r.output_ids == s, (r.req_id, r.output_ids, s)
+    assert eng.spec_rounds > 0
+
+
+def test_tp_ngram_matches_single_device(setup, rng):
+    """ngram speculation composes with TP: proposal/history math is
+    replicated, verification runs inside the shard_map."""
+    from usdm_tpu.engine.tp import make_tp_mesh
+
+    params = setup
+    mesh = make_tp_mesh(2)
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=2,
+                        prefill_chunk=16, spec_k=3)
+    allow = np.ones(CFG.vocab_size, bool)
+    prompts = [(list(rng.integers(3, 96, size=4)) * 4)[:13],
+               rng.integers(3, CFG.vocab_size, size=9).tolist()]
+    with jax.default_matmul_precision("highest"):
+        e1 = PagedEngine(params, CFG, ecfg.replace(spec_k=0))
+        base = [Request(i, list(prompts[i]), allow, eos_id=1, max_new_tokens=9)
+                for i in range(2)]
+        e1.run(base)
+        etp = PagedEngine(params, CFG, ecfg, mesh=mesh, draft="ngram")
+        tp_reqs = [Request(i, list(prompts[i]), allow, eos_id=1, max_new_tokens=9)
+                   for i in range(2)]
+        etp.run(tp_reqs)
+    for a, b in zip(base, tp_reqs):
+        assert a.output_ids == b.output_ids, (a.req_id, a.output_ids, b.output_ids)
+    assert etp.spec_rounds > 0
+
+
 def test_scheduler_fuzz_invariants(setup):
     """Randomized scheduler stress: staggered arrivals, mixed greedy/sampled
     requests, sessions, a spec draft, a tight page pool forcing eviction.

@@ -310,9 +310,18 @@ def make_handler(pipe, server, n_timesteps: int):
                     q, in_path, out_path, ref_path, steps, seed, on_tokens)
             except Exception as e:  # noqa: BLE001
                 emit("error", {"error": str(e)})
+                self._unlink_turn_files(in_path, out_path, ref_path)
                 return
             audio_bytes = self._collect_audio(result, in_path, out_path, ref_path)
             emit("result", _result_json(result, audio_bytes))
+
+        @staticmethod
+        def _unlink_turn_files(*paths) -> None:
+            import os
+
+            for p in paths:
+                if p and os.path.exists(p):
+                    os.unlink(p)
 
         def _collect_audio(self, result, in_path, out_path, ref_path) -> bytes:
             import os
@@ -321,9 +330,7 @@ def make_handler(pipe, server, n_timesteps: int):
             if result.agent_units and os.path.exists(out_path):
                 with open(out_path, "rb") as f:
                     audio_bytes = f.read()
-            for p in (in_path, out_path, ref_path):
-                if p and os.path.exists(p):
-                    os.unlink(p)
+            self._unlink_turn_files(in_path, out_path, ref_path)
             return audio_bytes
 
     return Handler
@@ -365,8 +372,11 @@ def main(argv=None) -> int:
                         "speculative decoding (output identical to plain "
                         "greedy; speed scales with draft agreement)")
     p.add_argument("--draft",
-                   help="training-free self-draft, e.g. 'early-exit:8' = the "
-                        "target's first 8 layers (alternative to --draft_dir)")
+                   help="training-free draft: 'early-exit:8' = self-draft "
+                        "from the target's first 8 layers, or 'ngram' = "
+                        "draft-free prompt-lookup speculation (proposals "
+                        "from the sequence's own history; best on the "
+                        "repetition-heavy unit stage)")
     p.add_argument("--spec_k", type=int, default=4,
                    help="draft tokens per speculative round")
     p.add_argument("--kv_dtype", choices=["bf16", "int8"], default="bf16",

@@ -327,6 +327,9 @@ class EngineConfig(_Base):
     # vLLM's gpu_memory_utilization-derived pool.
     spec_k: int = 4               # draft tokens per speculative round (used
     # only when the engine is built with a draft model; greedy requests only)
+    ngram_max_n: int = 3          # draft="ngram" (prompt-lookup) speculation:
+    # longest current-suffix n-gram matched against the sequence's own token
+    # history when proposing spec_k tokens (engine.paged_ops.ngram_propose)
     decode_horizon: int = 8       # tokens decoded per host sync when no
     # admission/prefill is pending (chained dispatches; see
     # engine.paged.step_chain).  v5e-over-tunnel b=1 7B-int8: 21 tok/s at 1,

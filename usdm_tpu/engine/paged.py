@@ -48,6 +48,7 @@ from usdm_tpu.engine.paged_ops import (  # noqa: F401
     paged_decode_multi,
     paged_decode_step,
     paged_decode_step_chained,
+    paged_ngram_round,
     paged_prefill_chunk,
     paged_spec_accept,
     paged_verify_step,
@@ -160,7 +161,16 @@ class PagedEngine:
         decoding (ecfg.spec_k tokens drafted per round, verified by one
         target forward).  The draft model shares page tables with the target
         and keeps its own KV pool; output is IDENTICAL to plain greedy
-        decode for any draft — only speed depends on draft agreement."""
+        decode for any draft — only speed depends on draft agreement.
+
+        `draft="ngram"` enables DRAFT-FREE prompt-lookup speculation (vLLM's
+        ngram method): proposals come from matching the current suffix
+        against the sequence's own token history on device — no draft model,
+        no draft KV pool, and non-speculating turns keep full chained decode
+        (a model draft forces per-token mirroring instead)."""
+        self.ngram = draft == "ngram"
+        if self.ngram:
+            draft = None
         self.cfg = cfg
         self.ecfg = ecfg
         self.mesh = mesh
@@ -181,6 +191,7 @@ class PagedEngine:
             self._tp_prefill = TP.make_prefill_chunk(mesh, cfg, ps)
             self._tp_chained = TP.make_decode_step_chained(mesh, cfg, ps)
             self._tp_spec = TP.make_spec_accept(mesh, cfg, ps)
+            self._tp_ngram = TP.make_ngram_round(mesh, cfg, ps)
         self.params = params
         self.free_pages: List[int] = list(range(n_pages - 1))
         b = ecfg.max_batch_size
@@ -228,6 +239,12 @@ class PagedEngine:
         # chain dispatched for generation g is never absorbed into a slot
         # re-admitted at generation g+1 (its frozen links emit zeros there)
         self.slot_gen = np.zeros(b, np.int64)
+        # ngram speculation: device-resident token history [B, S] for
+        # prompt-lookup proposals.  Rebuilt lazily from host state whenever a
+        # non-ngram path emitted tokens or a slot was (re)admitted
+        # (_ensure_hist); chained ngram rounds update it on device.
+        self._hist_dev = None
+        self._hist_dirty = True
         self.slot_req: List[Optional[Request]] = [None] * b
         self.slot_slice: List[Optional[tuple]] = [None] * b  # lm_head slice
         self.slot_pages: List[List[int]] = [[] for _ in range(b)]
@@ -376,6 +393,7 @@ class PagedEngine:
             self._allow_dev, self._keys_dev, slot, mask_dev, key)
         self._dev_dirty = True
         self._hot = None
+        self._hist_dirty = True
 
     def _try_admit(self) -> None:
         """Assign waiting requests to free slots + pages (no compute here).
@@ -514,8 +532,10 @@ class PagedEngine:
         """Next tick's decode will be multi-token (chain or fused): deferring
         a post-prefill per-token decode step to it saves the per-token host
         sync either way.  Shared by step()'s and tick()'s defer branches so
-        the predicate can't drift between copies."""
-        return self.decode_horizon > 1 and self.draft_params is None
+        the predicate can't drift between copies.  ngram mode also defers
+        nothing: the next tick is a spec round, which flushes eagerly."""
+        return (self.decode_horizon > 1 and self.draft_params is None
+                and not self.ngram)
 
     def _defer_first_ok(self, req: Request) -> bool:
         """Deferred-first-token gate: only the CHAIN path can absorb a
@@ -539,6 +559,7 @@ class PagedEngine:
         self._ttfts.append(req.ttft_s)
         req.output_ids.append(first)
         self.tokens[slot] = first
+        self._hist_dirty = True
         if first == req.eos_id or len(req.output_ids) >= req.max_new_tokens:
             self._finish(slot)
 
@@ -786,6 +807,7 @@ class PagedEngine:
             else:
                 self._reclaim_window(slot)
         self._hot = None
+        self._hist_dirty = True
         return int((self.status != FREE).sum())
 
     def _safe_horizon(self, n_steps: int, dec: np.ndarray) -> int:
@@ -1028,9 +1050,13 @@ class PagedEngine:
             self._acc("absorb", _time.perf_counter() - t0)
 
     def _absorb_multi(self, dec: np.ndarray, toks: np.ndarray, n_emitted: np.ndarray,
-                      pend_slots=()) -> int:
+                      pend_slots=(), hist_synced: bool = False) -> int:
         import time as _t
 
+        if not hist_synced:
+            # these tokens were not appended to the device ngram history
+            # (only chained ngram rounds update it in-jit)
+            self._hist_dirty = True
         for slot in range(self.ecfg.max_batch_size):
             if not dec[slot]:
                 continue
@@ -1063,10 +1089,12 @@ class PagedEngine:
         return int((self.status != FREE).sum())
 
     def _can_spec(self) -> bool:
-        """Speculate only when: a draft is loaded, spec_k > 0, no admissions
-        or prefills pending, and every decoding slot is greedy with room for
-        a full K+1-token round (tails fall back to plain steps)."""
-        if (self.draft_params is None or self.ecfg.spec_k < 1
+        """Speculate only when: a draft (model or ngram) is configured,
+        spec_k > 0, no admissions or prefills pending, and every decoding
+        slot is greedy with room for a full K+1-token round (tails fall back
+        to plain steps)."""
+        if ((self.draft_params is None and not self.ngram)
+                or self.ecfg.spec_k < 1
                 or self.waiting or self.prefill_order):
             return False
         dec = self.status == DECODE
@@ -1195,11 +1223,116 @@ class PagedEngine:
         self._hot = None
         return self._absorb_multi(dec, flat, total)
 
+    def _ensure_hist(self) -> None:
+        """Device token history [B, S] for prompt-lookup proposals, rebuilt
+        from host state (prompt + output ids per decoding slot) when stale.
+        ONE upload per transition into ngram rounds; consecutive rounds keep
+        it device-resident (paged_ngram_round appends in-jit)."""
+        if not self._hist_dirty and self._hist_dev is not None:
+            return
+        b = self.ecfg.max_batch_size
+        s = self.ecfg.max_pages_per_seq * self.ecfg.page_size
+        hist = np.zeros((b, s), np.int32)
+        for slot in range(b):
+            req = self.slot_req[slot]
+            if req is None or self.status[slot] != DECODE:
+                continue
+            row = req.prompt_ids + req.output_ids
+            hist[slot, : min(len(row), s)] = row[:s]
+        self._hist_dev = jnp.asarray(hist)
+        self._hist_dirty = False
+
+    def step_spec_ngram(self) -> int:
+        """R chained DRAFT-FREE speculative rounds with ONE host sync.
+
+        vLLM's prompt-lookup / ngram speculation, TPU-shaped: each round
+        proposes ecfg.spec_k tokens by matching the current suffix against
+        the sequence's own token history ON DEVICE (paged_ops.ngram_propose)
+        and verifies them with one target forward + on-device acceptance
+        (paged_spec_accept) — no draft model, no draft KV pool, no KV
+        mirroring on non-speculating turns.  Output equals plain greedy
+        decode exactly (tests assert it).  Per-round cost ≈ one decode step
+        (the proposal is a few [B, S] compares), so any acceptance beats
+        per-token stepping; 50 Hz unit streams (stage C: 2.8 s of the 4.7 s
+        turn, never deduplicated — reference decoder/scripts/preprocess.py:40)
+        repeat heavily, which is exactly where lookup acceptance is high."""
+        if self._inflight is not None:  # absorb any run-ahead chain first
+            fl, self._inflight = self._inflight, None
+            self._sync_chain(fl)
+        self._flush_pending()  # history/lens invariants read host tokens
+        k = self.ecfg.spec_k
+        dec = self.status == DECODE
+        # a round costs ~1 target step (not k+1 like a model draft), so the
+        # rounds-per-sync budget mirrors step_chain's link ramp
+        rounds = min(self._spec_rounds_cap(dec),
+                     max(1, self.decode_horizon),
+                     2 << min(self._chain_streak, 5))
+        self._chain_streak += 1
+        if rounds < 1:
+            return self.step()
+        self._ensure_hist()
+        lslice = self._active_slice(dec, False)
+        active = jnp.asarray(dec)
+        lens = jnp.asarray(self.seq_lens)
+        table, eos, _, _, _ = self._slot_state_dev()
+        cur = jnp.asarray(self.tokens)
+        done = jnp.asarray(~dec)
+        max_tok = (int(self.seq_lens[dec].max()) if dec.any() else 0) + rounds * (k + 1)
+        ncp = _ctx_pages_bucket(self._pages_needed(max_tok), self.ecfg.max_pages_per_seq)
+
+        outs, emits = [], []
+        for _ in range(rounds):
+            if self.mesh is not None:
+                (otok, n_emit, cur, done, lens,
+                 self._hist_dev, self.kv) = self._tp_ngram(
+                    self.params, self.kv, self._hist_dev, cur, lens, done,
+                    eos, table, active, self._allow_dev, ncp, k,
+                    self.ecfg.ngram_max_n,
+                )
+            else:
+                (otok, n_emit, cur, done, lens,
+                 self._hist_dev, self.kv) = paged_ngram_round(
+                    self.params, self.kv, self.cfg, self._hist_dev, cur,
+                    lens, done, eos, table, active, self._allow_dev,
+                    self.ecfg.page_size, ncp, k, self.ecfg.ngram_max_n,
+                    logits_slice=lslice,
+                )
+            outs.append(otok)
+            emits.append(n_emit)
+        packed = np.asarray(jnp.concatenate(
+            [jnp.concatenate(outs, axis=1),
+             jnp.stack(emits, axis=1)], axis=1))  # ONE host sync
+        toks = packed[:, : rounds * (k + 1)].reshape(-1, rounds, k + 1)
+        n_emits = packed[:, rounds * (k + 1):]
+        self.steps += rounds
+        self.spec_rounds += rounds
+
+        b = self.ecfg.max_batch_size
+        flat = np.zeros((b, rounds * (k + 1)), np.int32)
+        total = np.zeros(b, np.int32)
+        for slot in range(b):
+            if not dec[slot]:
+                continue
+            for r in range(rounds):
+                n = int(n_emits[slot, r])
+                flat[slot, int(total[slot]): int(total[slot]) + n] = toks[slot, r, :n]
+                total[slot] += n
+            self.spec_emitted += int(total[slot])
+        self._hot = None
+        return self._absorb_multi(dec, flat, total, hist_synced=True)
+
     def tick(self) -> int:
         """One scheduler turn: per-token stepping while admissions/prefills
         are pending, speculative rounds when a draft is loaded and
         applicable, multi-token (chained) decode otherwise — single-device
         and TP take the same paths (TP chains shard_map'd links)."""
+        if self.waiting and self._inflight is not None:
+            # A pending run-ahead sync may free pages/slots (EOS/budget ends
+            # absorbed at sync time).  Admission below can only see capacity
+            # that exists NOW, so sync first — otherwise a waiting request is
+            # admitted one tick later than necessary under load.
+            fl, self._inflight = self._inflight, None
+            self._sync_chain(fl)
         if self.waiting or self.prefill_order:
             self._try_admit()  # host-side bookkeeping only — no compute
             if self.prefill_order:
@@ -1238,7 +1371,7 @@ class PagedEngine:
             # behavior single-stepped here, collapsing aggregate decode ~4x
             # for the entire slot-bound stretch of a loaded serving run.)
         if self._can_spec():
-            return self.step_spec()
+            return self.step_spec_ngram() if self.ngram else self.step_spec()
         if self.draft_params is not None:
             # a draft is loaded but this step can't speculate (sampled slot /
             # budget tail): single-step so the draft pool mirrors the decode —
@@ -1251,11 +1384,25 @@ class PagedEngine:
             return self.step_chain(self.decode_horizon)
         return self.step_multi(self.decode_horizon)
 
+    def drain_inflight(self) -> None:
+        """Sync and absorb any pending run-ahead chain.
+
+        The last request of a burst can EOS-finish at the in-flight chain's
+        *sync* — busy goes False with the successor chain still dispatched.
+        Its tokens are all frozen/trash-routed (nothing user-visible), but
+        until it is absorbed `self.steps`/perf telemetry undercount and the
+        stacked device buffer stays live.  run() and an idling EngineServer
+        call this when work drains."""
+        if self._inflight is not None:
+            fl, self._inflight = self._inflight, None
+            self._sync_chain(fl)
+
     def run(self, requests: List[Request]) -> List[Request]:
         for r in requests:
             self.submit(r)
         while self.busy:
             self.tick()
+        self.drain_inflight()
         return requests
 
 

@@ -500,6 +500,96 @@ def paged_spec_accept(
     return out, n_emit, next_cur, new_done, new_lens, kv
 
 
+def ngram_propose(
+    history: jnp.ndarray,  # [B, S] int32 token history (prompt + emitted)
+    hist_len: jnp.ndarray,  # [B] valid tokens; history[:, hist_len-1] == cur
+    cur: jnp.ndarray,  # [B] current token (last emitted)
+    k: int,  # proposal length
+    max_n: int,  # longest suffix n-gram to match
+) -> jnp.ndarray:
+    """Draft-free prompt-lookup proposal (vLLM's ngram speculative method,
+    the engine behind the reference's serving path
+    /root/reference/src/inference_vllm.py:109): propose the K tokens that
+    followed the most recent, longest (<= max_n) occurrence of the current
+    suffix in the sequence's OWN history.  Pure VPU work — a handful of
+    [B, S] compares + one argmax — chained on device with the verify step.
+
+    Falls back to repeating `cur` when no suffix recurs (or past the end of
+    history): 50 Hz unit streams are never deduplicated (reference
+    decoder/scripts/preprocess.py:40), so steady phonemes/silence emit long
+    runs where repeat-current is exactly right.  Returns proposals [B, K];
+    garbage rows for inactive slots are fine (verification masks them)."""
+    b, s = history.shape
+    pos = jnp.arange(s)[None]  # candidate continuation start i
+    match_n = jnp.zeros((b, s), jnp.int32)
+    all_eq = jnp.ones((b, s), bool)
+    for j in range(1, max_n + 1):
+        # history[:, i-j] for every i, via a left pad (static shift)
+        shifted = jnp.pad(history, ((0, 0), (j, 0)))[:, :s]
+        suf_j = jnp.take_along_axis(
+            history, jnp.maximum(hist_len - j, 0)[:, None], axis=1)  # [B, 1]
+        all_eq = jnp.logical_and(all_eq, shifted == suf_j)
+        ok = jnp.logical_and(all_eq, pos >= j)
+        ok = jnp.logical_and(ok, (hist_len > j)[:, None])
+        match_n = jnp.where(ok, j, match_n)
+    # i < hist_len: at least one real continuation token, and the trivial
+    # self-match at i == hist_len is excluded
+    valid = jnp.logical_and(pos < hist_len[:, None], match_n >= 1)
+    # longest match wins; ties go to the most recent occurrence
+    score = jnp.where(valid, match_n * s + pos, -1)
+    best = jnp.argmax(score, axis=1)  # [B]
+    found = jnp.take_along_axis(score, best[:, None], axis=1)[:, 0] >= 0
+    idx = best[:, None] + jnp.arange(k)[None]  # [B, K]
+    cont = jnp.take_along_axis(history, jnp.minimum(idx, s - 1), axis=1)
+    take = jnp.logical_and(idx < hist_len[:, None], found[:, None])
+    return jnp.where(take, cont, cur[:, None])
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "k",
+                                   "max_n", "tp_axis", "logits_slice"),
+         donate_argnums=(1, 3))
+def paged_ngram_round(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    history: jnp.ndarray,  # [B, S] int32 (S = max_pages_per_seq * page_size)
+    cur: jnp.ndarray,  # [B] current token
+    seq_lens: jnp.ndarray,  # [B]
+    done: jnp.ndarray,  # [B] bool
+    eos_ids: jnp.ndarray,  # [B]
+    page_table: jnp.ndarray,
+    active: jnp.ndarray,
+    allow_masks: jnp.ndarray,
+    page_size: int,
+    n_ctx_pages: int,
+    k: int,
+    max_n: int,
+    tp_axis: Optional[str] = None,
+    logits_slice: Optional[Tuple[int, int, int]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray, PagedKV]:
+    """One draft-free speculative round: ngram-propose K tokens from the
+    sequence's own history, verify + accept on device (paged_spec_accept),
+    and append the emitted tokens to the history — all in ONE dispatch, so
+    rounds chain back-to-back with a single host sync like step_spec rounds.
+    -> (tokens [B, K+1], n_emit [B], next_cur [B], done', seq_lens',
+    history', kv').  Per-round cost ~= one target decode step (the proposal
+    is a few [B, S] compares); emitted tokens per round ∈ [1, K+1]."""
+    b, s = history.shape
+    hist_len = seq_lens + 1  # prompt + emitted tokens (cur is the last)
+    props = ngram_propose(history, hist_len, cur, k, max_n)
+    ver_in = jnp.concatenate([cur[:, None], props], axis=1)
+    out, n_emit, next_cur, new_done, new_lens, kv = paged_spec_accept.__wrapped__(
+        params, kv, cfg, ver_in, seq_lens, done, eos_ids, page_table, active,
+        allow_masks, page_size, n_ctx_pages, tp_axis=tp_axis,
+        logits_slice=logits_slice,
+    )
+    cols = jnp.arange(k + 1)[None]
+    w_idx = jnp.where(cols < n_emit[:, None], hist_len[:, None] + cols, s)
+    history = history.at[jnp.arange(b)[:, None], w_idx].set(out, mode="drop")
+    return out, n_emit, next_cur, new_done, new_lens, history, kv
+
+
 @partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "tp_axis"),
          donate_argnums=(1,))
 def paged_prefill_chunk(

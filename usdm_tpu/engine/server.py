@@ -112,11 +112,20 @@ class EngineServer:
         seen = 0
         try:
             while True:
+                # Deadline per wait-for-progress, measured on the monotonic
+                # clock: the loop thread notifies every tick even when THIS
+                # request made no progress (it may be queued behind capacity),
+                # so a bare cv.wait(timeout) returning True must not restart
+                # the clock — only actual new tokens do.
+                deadline = None if timeout is None else time.monotonic() + timeout
                 with self._cv:
                     while len(req.output_ids) <= seen and not req.finished:
-                        if not self._cv.wait(timeout):
+                        remaining = (None if deadline is None
+                                     else deadline - time.monotonic())
+                        if remaining is not None and remaining <= 0:
                             raise TimeoutError(
                                 f"request {rid}: no progress in {timeout}s")
+                        self._cv.wait(remaining)
                     new = list(req.output_ids[seen:])
                     done = req.finished
                 seen += len(new)
@@ -197,6 +206,10 @@ class EngineServer:
                     self.engine.submit(req)
                 if self.engine.busy:
                     self.engine.tick()
+                if not self.engine.busy:
+                    # work drained: absorb any run-ahead chain so telemetry
+                    # is exact and its device buffer is released while idle
+                    self.engine.drain_inflight()
             except Exception as e:  # device/XLA failure: fail requests, not callers
                 with self._cv:
                     self._fatal = e

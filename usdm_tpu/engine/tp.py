@@ -200,6 +200,36 @@ def make_spec_accept(mesh: Mesh, cfg: MistralConfig, page_size: int):
     return jax.jit(run, static_argnames=("n_ctx_pages",), donate_argnums=(1,))
 
 
+def make_ngram_round(mesh: Mesh, cfg: MistralConfig, page_size: int):
+    """jitted shard_map'd paged_ngram_round: draft-free prompt-lookup
+    speculation under TP.  The proposal/history math is elementwise on
+    replicated arrays (identical on every device); the verify forward runs
+    tensor-parallel like paged_spec_accept."""
+    rep = P()
+
+    def run(params, kv, history, cur, seq_lens, done, eos_ids, page_table,
+            active, allow, n_ctx_pages, k, max_n):
+        def inner(p, kvs, h, c, sl, dn, eo, pt, act, al):
+            return PG.paged_ngram_round.__wrapped__(
+                p, kvs, cfg, h, c, sl, dn, eo, pt, act, al, page_size,
+                n_ctx_pages, k, max_n, tp_axis=AXIS,
+            )
+
+        specs = _spec_tree(params)
+        kv_specs = _kv_specs(kv)
+        fn = shard_map(
+            inner, mesh=mesh,
+            in_specs=(specs, kv_specs, rep, rep, rep, rep, rep, rep, rep, rep),
+            out_specs=(rep, rep, rep, rep, rep, rep, kv_specs),
+            check_vma=False,
+        )
+        return fn(params, kv, history, cur, seq_lens, done, eos_ids,
+                  page_table, active, allow)
+
+    return jax.jit(run, static_argnames=("n_ctx_pages", "k", "max_n"),
+                   donate_argnums=(1, 2))
+
+
 def make_prefill_chunk(mesh: Mesh, cfg: MistralConfig, page_size: int):
     rep = P()
 

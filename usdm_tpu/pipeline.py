@@ -111,10 +111,12 @@ class UsdmPipeline:
         streamlit_demo.py:64) — `respond()` below is the single-caller
         prefix-reuse path.  `tp > 1` shards the LM + KV pool tensor-parallel
         across the first `tp` devices (engine.tp shard_map serving).
-        `draft` enables greedy speculative decoding: either `(params, cfg)`
-        of a separate small LM, or the string `"early-exit:N"` for a
-        training-free self-draft built from the target's first N layers
-        (output is identical to plain greedy either way)."""
+        `draft` enables greedy speculative decoding: `(params, cfg)` of a
+        separate small LM, the string `"early-exit:N"` for a training-free
+        self-draft built from the target's first N layers, or `"ngram"` for
+        DRAFT-FREE prompt-lookup speculation (proposals from the sequence's
+        own history; no extra model or KV pool).  Output is identical to
+        plain greedy in every case."""
         from usdm_tpu.core.config import EngineConfig
         from usdm_tpu.engine.paged import PagedEngine
         from usdm_tpu.engine.server import EngineServer
@@ -124,7 +126,7 @@ class UsdmPipeline:
             from usdm_tpu.engine.tp import make_tp_mesh
 
             mesh = make_tp_mesh(tp)
-        if isinstance(draft, str):
+        if isinstance(draft, str) and draft != "ngram":
             if not draft.startswith("early-exit:"):
                 raise ValueError(f"unknown draft spec {draft!r}")
             from usdm_tpu.models.quant import early_exit_draft
@@ -137,8 +139,9 @@ class UsdmPipeline:
                                         draft=draft))
 
     def enable_speculation(self, draft) -> None:
-        """Attach a speculative-decoding draft to the respond() path: either
-        `(params, cfg)` of a small LM or the string `"early-exit:N"`.  Output
+        """Attach a speculative-decoding draft to the respond() path:
+        `(params, cfg)` of a small LM, `"early-exit:N"`, or `"ngram"`
+        (draft-free prompt-lookup — the stage-C default lever).  Output
         is unchanged (greedy speculation is lossless); only speed depends on
         draft agreement.  Rebuilds the lazy dialog server if one exists."""
         self.close()
