@@ -1139,3 +1139,154 @@ def test_window_reclaimed_hold_not_reused(rng):
     assert r2.output_ids == sc.output_ids
     eng.release_session(9)
     assert len(eng.free_pages) == eng.n_pages - 1
+
+
+# ---------------------------------------------------------------------------
+# Mixed prefill+decode dispatch (EngineConfig.mixed_prefill)
+# ---------------------------------------------------------------------------
+
+
+def _staggered(params, ecfg, prompts, allow, kws):
+    """Submit prompts[0], tick until it decodes, then burst-submit the rest."""
+    eng = PagedEngine(params, CFG, ecfg)
+    reqs = [Request(i, list(p), allow, eos_id=1, max_new_tokens=10, **kw)
+            for i, (p, kw) in enumerate(zip(prompts, kws))]
+    eng.submit(reqs[0])
+    for _ in range(3):
+        eng.tick()
+    for r in reqs[1:]:
+        eng.submit(r)
+    while eng.busy:
+        eng.tick()
+    eng.drain_inflight()
+    return eng, [r.output_ids for r in reqs]
+
+
+@pytest.mark.parametrize("sampled", [False, True])
+def test_mixed_prefill_matches_alternating(setup, rng, sampled):
+    """mixed_prefill=True (prefill chunks coalesced into the decode batch,
+    paged_ops.paged_mixed_step) must emit exactly what the alternating
+    scheduler emits, greedy and sampled, under a staggered prefill burst."""
+    params = setup
+    prompts = [rng.integers(3, CFG.vocab_size, size=n).tolist()
+               for n in (20, 35, 18, 40)]
+    allow = np.ones(CFG.vocab_size, bool)
+    kws = [dict(top_k=12, temperature=0.9, seed=i) if sampled else {}
+           for i in range(4)]
+    with jax.default_matmul_precision("highest"):
+        ecfg_m = EngineConfig(page_size=16, max_pages_per_seq=8,
+                              max_batch_size=4, prefill_chunk=16,
+                              mixed_prefill=True)
+        ecfg_a = EngineConfig(page_size=16, max_pages_per_seq=8,
+                              max_batch_size=4, prefill_chunk=16,
+                              mixed_prefill=False)
+        eng_m, out_m = _staggered(params, ecfg_m, prompts, allow, kws)
+        eng_a, out_a = _staggered(params, ecfg_a, prompts, allow, kws)
+    assert out_m == out_a
+    assert "mixed_dispatch" in eng_m.perf, "mixed path never engaged"
+    assert "mixed_dispatch" not in eng_a.perf
+    assert len(eng_m.free_pages) == eng_m.n_pages - 1  # pool fully recovered
+
+
+def test_mixed_prefill_advances_decode_during_burst(setup, rng):
+    """During a multi-chunk prefill burst, ONE tick must advance the decoding
+    slot by (roughly) one token per chunk — the r3 alternating drain gave it
+    zero until the burst ended."""
+    params = setup
+    allow = np.ones(CFG.vocab_size, bool)
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                        prefill_chunk=16, prefill_chunks_per_tick=4,
+                        mixed_prefill=True)
+    eng = PagedEngine(params, CFG, ecfg)
+    ra = Request(0, rng.integers(3, 96, size=8).tolist(), allow, eos_id=1,
+                 max_new_tokens=30)
+    eng.submit(ra)
+    for _ in range(3):
+        eng.tick()
+    eng.drain_inflight()
+    base = len(ra.output_ids)
+    # a 64-token prompt = 4 chunks of prefill, all drained in one tick
+    rb = Request(1, rng.integers(3, 96, size=64).tolist(), allow, eos_id=1,
+                 max_new_tokens=4)
+    eng.submit(rb)
+    eng.tick()
+    assert len(ra.output_ids) >= base + 3  # decode rode the burst
+    eng.run([])
+    assert ra.finished and rb.finished
+
+
+def test_mixed_prefill_streaming_first_token_is_eager(setup, rng):
+    """A streaming request completing its prompt mid-burst must have its
+    first token recorded at that link (not deferred to the burst sync)."""
+    params = setup
+    allow = np.ones(CFG.vocab_size, bool)
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                        prefill_chunk=16, mixed_prefill=True)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg)
+        ra = _req(rng, 0, n=8, max_new=20)
+        eng.submit(ra)
+        for _ in range(3):
+            eng.tick()
+        rb = Request(1, rng.integers(3, 96, size=30).tolist(), allow, eos_id=1,
+                     max_new_tokens=6, stream=True)
+        eng.submit(rb)
+        while not rb.output_ids:
+            eng.tick()
+        assert rb.ttft_s is not None  # recorded eagerly, mid-burst
+        eng.run([])
+
+        solo = PagedEngine(params, CFG, ecfg)
+        clone = Request(2, list(rb.prompt_ids), allow, eos_id=1,
+                        max_new_tokens=6)
+        solo.run([clone])
+    assert rb.output_ids == clone.output_ids
+
+
+def test_mixed_prefill_with_ngram_engine(setup, rng):
+    """draft='ngram' engines take the mixed path too (history rebuilds
+    lazily after the burst); outputs stay equal to plain greedy."""
+    params = setup
+    allow = np.ones(CFG.vocab_size, bool)
+    prompts = [rng.integers(3, CFG.vocab_size, size=n).tolist()
+               for n in (20, 35, 18)]
+    kws = [{}] * 3
+    with jax.default_matmul_precision("highest"):
+        ecfg = EngineConfig(page_size=16, max_pages_per_seq=8,
+                            max_batch_size=4, prefill_chunk=16,
+                            mixed_prefill=True, spec_k=3)
+        eng_n = PagedEngine(params, CFG, ecfg, draft="ngram")
+        reqs = [Request(i, list(p), allow, eos_id=1, max_new_tokens=10)
+                for i, p in enumerate(prompts)]
+        eng_n.submit(reqs[0])
+        for _ in range(3):
+            eng_n.tick()
+        for r in reqs[1:]:
+            eng_n.submit(r)
+        while eng_n.busy:
+            eng_n.tick()
+        eng_n.drain_inflight()
+
+        _, out_plain = _staggered(params, ecfg, prompts, allow, kws)
+    assert [r.output_ids for r in reqs] == out_plain
+
+
+def test_mixed_prefill_int8_kv(setup, rng):
+    """Mixed dispatch through int8 KV pools: batched == solo (exercises the
+    quantized chunk-write + decode-write paths inside paged_mixed_step)."""
+    params = setup
+    allow = np.ones(CFG.vocab_size, bool)
+    prompts = [rng.integers(3, CFG.vocab_size, size=n).tolist()
+               for n in (20, 35)]
+    with jax.default_matmul_precision("highest"):
+        ecfg = EngineConfig(page_size=16, max_pages_per_seq=8,
+                            max_batch_size=4, prefill_chunk=16,
+                            mixed_prefill=True, kv_dtype="int8")
+        eng, outs = _staggered(params, ecfg, prompts, allow, [{}] * 2)
+        solos = []
+        for i, p in enumerate(prompts):
+            solo = PagedEngine(params, CFG, ecfg)
+            c = Request(i, list(p), allow, eos_id=1, max_new_tokens=10)
+            solo.run([c])
+            solos.append(c.output_ids)
+    assert outs == solos

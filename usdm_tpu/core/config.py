@@ -339,6 +339,12 @@ class EngineConfig(_Base):
     # (bf16), "int8" = quantized pages with per-(head, token) f32 scales
     # (vLLM's fp8 KV cache analog) — half the page HBM and attention-read
     # traffic; outputs may differ from bf16 by ~0.4% logit noise.
+    mixed_prefill: bool = True    # coalesce prefill chunks INTO the decode
+    # batch (vLLM scheduler behavior): each chunk dispatch also advances every
+    # decoding slot by one token, sharing the layer weight reads
+    # (engine.paged_ops.paged_mixed_step) — a prefill burst no longer stalls
+    # in-flight decodes for its whole duration.  False = alternate (r3
+    # behavior): drain chunks back-to-back, decode between bursts.
     runahead: bool = True         # depth-1 chain run-ahead: dispatch the next
     # decode chain from carried device state BEFORE syncing the previous one,
     # hiding the per-chain host RTT (~25 ms tunneled) behind device compute.

@@ -48,6 +48,7 @@ from usdm_tpu.engine.paged_ops import (  # noqa: F401
     paged_decode_multi,
     paged_decode_step,
     paged_decode_step_chained,
+    paged_mixed_step,
     paged_ngram_round,
     paged_prefill_chunk,
     paged_spec_accept,
@@ -1023,6 +1024,11 @@ class PagedEngine:
         t0 = _time.perf_counter()
         toks_all = np.asarray(meta["stacked"])  # ONE host sync
         self._acc("chain_sync", _time.perf_counter() - t0)
+        return self._absorb_chain(meta, toks_all)
+
+    def _absorb_chain(self, meta: dict, toks_all: np.ndarray) -> int:
+        """Post-sync half of _sync_chain (split out so step_mixed_burst can
+        fold extra device scalars into the same single sync)."""
         n_steps = meta["n_steps"]
         pend = meta["pend"]
         self.steps += n_steps
@@ -1048,6 +1054,118 @@ class PagedEngine:
             return self._absorb_multi(dec, em, n_emitted, pend_slots=pend)
         finally:
             self._acc("absorb", _time.perf_counter() - t0)
+
+    def step_mixed_burst(self) -> int:
+        """Drain prefill chunks where EVERY chunk dispatch ALSO advances all
+        decoding slots by one chained token (paged_ops.paged_mixed_step): the
+        decode rows ride the chunk's weight reads, so a prefill burst no
+        longer stalls in-flight decodes for its duration (vLLM coalesces
+        prefill chunks into decode batches the same way — the r3 scheduler
+        alternated them, measured as most of the 16-client gap).  The burst's
+        decode tokens absorb with ONE host sync, like a chain."""
+        if self._inflight is not None:
+            fl, self._inflight = self._inflight, None
+            self._sync_chain(fl)
+        dec = self.status == DECODE
+        # budget BEFORE pend injection (_safe_horizon reads _pending_first)
+        budget = self._safe_horizon(self.ecfg.prefill_chunks_per_tick, dec)
+        gen = self.slot_gen.copy()
+        do_sample = self._do_sample()
+        needs_filter = self._needs_filter()
+        lslice = self._active_slice(dec, do_sample)
+        # burst device state: fresh upload (prefill_order non-empty implies an
+        # admission since the last chain, which nulled _hot)
+        tok = jnp.asarray(self.tokens)
+        lens = jnp.asarray(self.seq_lens)
+        active = jnp.asarray(dec)
+        done = ~active
+        table, eos, tk, tp_, tmp = self._slot_state_dev()
+        pend = sorted(self._pending_first)
+        for slot in pend:
+            tok, done = _inject_first(tok, done, slot,
+                                      self._pending_first[slot], eos)
+        self._pending_first.clear()
+        tok_in = tok
+        outs: list = []
+        # first tokens of prompts that complete mid-burst: carried as a
+        # device vector and folded into the burst's one sync
+        pf_vec = jnp.zeros(self.ecfg.max_batch_size, jnp.int32)
+        pf_slots: list = []
+        c = self.ecfg.prefill_chunk
+        maxp = self.ecfg.max_pages_per_seq
+        t0 = _time.perf_counter()
+        while self.prefill_order and len(outs) < budget:
+            slot = self.prefill_order[0]
+            req = self.slot_req[slot]
+            start = int(self.prefill_pos[slot])
+            n = min(c, len(req.prompt_ids) - start)
+            ncp = _ctx_pages_bucket(self._pages_needed(start + c), maxp)
+            packed = np.empty(c + 2 + self.page_table.shape[1], np.int32)
+            packed[:c] = 0
+            packed[:n] = req.prompt_ids[start : start + n]
+            packed[c] = start
+            packed[c + 1] = n
+            packed[c + 2 :] = self.page_table[slot]
+            completes = start + n >= len(req.prompt_ids)
+            (chunk_logits, tok, done, lens, self._keys_dev,
+             self.kv) = paged_mixed_step(
+                self.params, self.kv, self.cfg, jnp.asarray(packed),
+                tok, lens, table, active, done, eos, self._allow_dev,
+                self.ecfg.page_size, ncp, c, self._keys_dev, tk, tp_, tmp,
+                do_sample=do_sample, needs_filter=needs_filter,
+                sample_chunk=completes, logits_slice=lslice,
+            )
+            outs.append(tok)
+            self.prefill_chunks += 1
+            self.prefill_pos[slot] = start + n
+            if completes:
+                self.prefill_order.pop(0)
+                first, new_key = sample_next(
+                    chunk_logits, self._allow_dev[slot], self._keys_dev[slot],
+                    req.top_k, req.top_p, req.temperature,
+                    do_sample=req.sampled,
+                )
+                self._keys_dev = self._keys_dev.at[slot].set(new_key)
+                self.seq_lens[slot] = len(req.prompt_ids)
+                self.status[slot] = DECODE
+                if req.stream:
+                    # a streaming consumer's first visible token must not
+                    # wait for the burst's end sync
+                    ts = _time.perf_counter()
+                    fint = int(first)
+                    self._acc("first_tok_sync", _time.perf_counter() - ts)
+                    self._record_first(slot, fint)
+                else:
+                    # rides the burst's one sync as an extra stacked column
+                    # (below) — TTFT records at THIS burst's end, with no
+                    # extra host round trip
+                    pf_vec = pf_vec.at[slot].set(first)
+                    pf_slots.append(slot)
+            self._try_admit()  # a completed prompt may free pages
+            if self._dev_dirty:
+                table, eos, tk, tp_, tmp = self._slot_state_dev()
+        self._acc("mixed_dispatch", _time.perf_counter() - t0)
+        full = np.where(dec, len(outs), 0)
+        for slot in pend:
+            full[slot] += 1
+        n_steps = len(outs)
+        meta = {
+            "stacked": None, "dec": dec, "pend": pend, "n_steps": n_steps,
+            "gen": gen, "full_emit": full,
+        }
+        # ONE sync for the burst: decode emissions + mid-burst first tokens
+        stacked = jnp.concatenate(
+            [jnp.stack([tok_in] + outs, axis=1), pf_vec[:, None]], axis=1)
+        t0 = _time.perf_counter()
+        arr = np.asarray(stacked)
+        self._acc("chain_sync", _time.perf_counter() - t0)
+        self._absorb_chain(meta, arr[:, : n_steps + 1])
+        # carried rows for slots whose prompts completed mid-burst are stale;
+        # host state is authoritative after the sync — force a re-upload
+        self._hot = None
+        for slot in pf_slots:
+            self._record_first(slot, int(arr[slot, n_steps + 1]))
+        return int((self.status != FREE).sum())
 
     def _absorb_multi(self, dec: np.ndarray, toks: np.ndarray, n_emitted: np.ndarray,
                       pend_slots=(), hist_synced: bool = False) -> int:
@@ -1335,6 +1453,15 @@ class PagedEngine:
             self._sync_chain(fl)
         if self.waiting or self.prefill_order:
             self._try_admit()  # host-side bookkeeping only — no compute
+            if (self.prefill_order and self.ecfg.mixed_prefill
+                    and self.draft_params is None and self.mesh is None
+                    and (self.status == DECODE).any()):
+                # decodes in flight: coalesce the prefill chunks INTO the
+                # decode batch — each chunk dispatch also advances every
+                # decoding slot one token on shared weight reads (vLLM
+                # scheduler behavior; the alternating drain below stalls all
+                # decode for the burst's duration)
+                return self.step_mixed_burst()
             if self.prefill_order:
                 # real prefill work pending: drain up to a budget of chunks
                 # back-to-back (one decode token between chunks costs a full

@@ -249,7 +249,13 @@ def paged_decode_step(
         logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
     logits = jnp.where(allow_masks, logits, NEG_INF)
     if do_sample:
-        keys, use = split_keys(keys)
+        new_keys, use = split_keys(keys)
+        # a slot's key stream advances exactly once per token it actually
+        # samples — NOT per dispatch.  Rows that are prefilling, EOS-frozen
+        # in a chain, or otherwise inactive keep their key, so a sampled
+        # request's output never depends on scheduler interleaving (mixed
+        # vs alternating prefill, chain length, batch composition).
+        keys = jnp.where(active[:, None], new_keys, keys)
         nxt = sample_batched(logits, use, top_k, top_p, temperature,
                              needs_filter=needs_filter)
     else:
@@ -751,6 +757,267 @@ def paged_prefill_chunk_packed(
     row = packed[c + 2 :]
     return paged_prefill_chunk.__wrapped__(
         params, kv, cfg, ids, start, n_valid, row, page_size, n_ctx_pages)
+
+
+@partial(jax.jit, static_argnames=("cfg", "page_size", "n_ctx_pages", "c",
+                                   "do_sample", "needs_filter", "sample_chunk",
+                                   "tp_axis", "logits_slice"),
+         donate_argnums=(1,))
+def paged_mixed_step(
+    params: M.Params,
+    kv: PagedKV,
+    cfg: MistralConfig,
+    packed: jnp.ndarray,  # [c + 2 + maxp] int32: chunk ids | start | n_valid | table row
+    tokens: jnp.ndarray,  # [B] decode input token per slot
+    seq_lens: jnp.ndarray,  # [B]
+    page_table: jnp.ndarray,  # [B, maxp]
+    active: jnp.ndarray,  # [B] bool: slots decoding in this burst
+    done: jnp.ndarray,  # [B] bool: EOS'd earlier in the burst
+    eos_ids: jnp.ndarray,  # [B]
+    allow_masks: jnp.ndarray,  # [B, V]
+    page_size: int,
+    n_ctx_pages: int,
+    c: int,
+    keys: jnp.ndarray,  # [B, 2] uint32
+    top_k: jnp.ndarray,
+    top_p: jnp.ndarray,
+    temperature: jnp.ndarray,
+    do_sample: bool = False,
+    needs_filter: bool = True,
+    sample_chunk: bool = False,
+    tp_axis: Optional[str] = None,
+    logits_slice: Optional[Tuple[int, int, int]] = None,
+):
+    """MIXED prefill+decode: one dispatch advances a prefilling slot's chunk
+    AND every decoding slot by one token -> (chunk_logits | None, token [B],
+    done' [B], seq_lens' [B], keys', kv').
+
+    vLLM's scheduler coalesces prefill chunks INTO decode batches so an
+    admission never stalls in-flight decodes (the engine behind the
+    reference's serving path, /root/reference/src/inference_vllm.py:109);
+    the TPU shape of that idea: the chunk's C rows and the decode slots' B
+    rows CONCATENATE into one [C+B, D] activation, so every projection /
+    FFN / lm_head weight matrix is read ONCE for both workloads — decode is
+    weight-read-bound (docs/STATUS.md), so its matmuls ride the chunk's for
+    almost free, where the alternating scheduler paid a full extra weight
+    stream per decode step between chunks.  Attention is the only part that
+    splits: chunk rows run the masked-MHA-over-gathered-pages of
+    paged_prefill_chunk, decode rows the Pallas paged kernel of
+    paged_decode_step; both rejoin for the wo/FFN matmuls.
+
+    The decode side carries the CHAINED bookkeeping (EOS freeze + length
+    update, as paged_decode_step_chained) so a prefill burst of N chunks is
+    N of these links with ONE host sync at the end.  `sample_chunk=True`
+    (static: the chunk completes its prompt — host knows at dispatch) also
+    returns the last-valid-position logits [V] f32 for first-token sampling;
+    otherwise chunk logits are never computed (the full-vocab lm_head read
+    is ~29% of a decode step)."""
+    if logits_slice is not None and (do_sample or tp_axis is not None):
+        raise ValueError("logits_slice requires greedy single-device decode")
+    chunk_ids = packed[:c]
+    start = packed[c]
+    n_valid = packed[c + 1]
+    row = packed[c + 2:]
+
+    b = tokens.shape[0]
+    hd = cfg.head_dim
+    h = _proj_dim(params["layers"]["wq"]) // hd
+    hkv = _proj_dim(params["layers"]["wk"]) // hd
+    cdt = jnp.dtype(cfg.dtype)
+    p = page_size
+    s_ctx = n_ctx_pages * p
+    n_pages = kv.k_pages.shape[1] // cfg.num_layers
+    trash = n_pages - 1
+    live = jnp.logical_and(active, ~done)
+
+    # --- chunk-side indexing (as paged_prefill_chunk) ---
+    pos_c = (start + jnp.arange(c))[None]  # [1, C] absolute
+    q_seg = jnp.where(jnp.arange(c)[None] < n_valid, 0, -1)
+    cos_c, sin_c = M.rope_tables(pos_c, hd, cfg.rope_theta)
+    gidx = start + jnp.arange(c)
+    pages_t = row[jnp.minimum(gidx // p, row.shape[0] - 1)]
+    pages_t = jnp.where(jnp.arange(c) < n_valid, pages_t, trash)
+    offs_t = gidx % p
+    row_ids = row[:n_ctx_pages]
+    kv_pos = jnp.arange(s_ctx)[None]  # [1, S_ctx]
+    kv_seg = jnp.where(kv_pos < start + n_valid, 0, -1)
+
+    # --- decode-side indexing (as paged_decode_step) ---
+    pos_d = seq_lens
+    cos_d, sin_d = M.rope_tables(pos_d[:, None], hd, cfg.rope_theta)
+    d_pages = page_table[jnp.arange(b), pos_d // p]
+    d_pages = jnp.where(live, d_pages, trash)
+    d_offs = pos_d % p
+
+    emb = params["embed"].astype(cdt)
+    xa = jnp.concatenate([emb[chunk_ids], emb[tokens]], axis=0)  # [C+B, D]
+
+    def body(carry, xs):
+        xa, kvp = carry
+        k_pool, v_pool = kvp.k_pages, kvp.v_pages
+        ks_pool, vs_pool = kvp.k_scales, kvp.v_scales
+        lp, li = xs
+        base = li * n_pages
+        ya = M.rms_norm(xa, lp["ln1"], cfg.rms_norm_eps)
+        qa = qmm(ya, lp["wq"])  # ONE weight read serves chunk + decode rows
+        ka = qmm(ya, lp["wk"])
+        va = qmm(ya, lp["wv"])
+
+        q_c = M.apply_rope(qa[:c].reshape(1, c, h, hd), cos_c, sin_c)
+        k_c = M.apply_rope(ka[:c].reshape(1, c, hkv, hd), cos_c, sin_c)
+        v_c = va[:c].reshape(1, c, hkv, hd)
+        q_d = M.apply_rope(qa[c:].reshape(b, 1, h, hd), cos_d, sin_d)
+        k_d = M.apply_rope(ka[c:].reshape(b, 1, hkv, hd), cos_d, sin_d)[:, 0]
+        v_d = va[c:].reshape(b, hkv, hd)
+
+        # --- chunk KV writes (whole pages when aligned; scatter fallback) ---
+        kk_t = k_c[0].transpose(1, 0, 2)  # [Hkv, C, hd]
+        vv_t = v_c[0].transpose(1, 0, 2)
+        if ks_pool is not None:
+            kk_t, ks_t = quant_kv_token(kk_t)  # scales [Hkv, C]
+            vv_t, vs_t = quant_kv_token(vv_t)
+        else:
+            kk_t = kk_t.astype(k_pool.dtype)
+            vv_t = vv_t.astype(v_pool.dtype)
+        if c % p == 0:
+            kk_p = kk_t.reshape(hkv, c // p, p, hd)
+            vv_p = vv_t.reshape(hkv, c // p, p, hd)
+            if ks_pool is not None:
+                ks_p = ks_t.reshape(hkv, c // p, p).transpose(1, 0, 2)
+                vs_p = vs_t.reshape(hkv, c // p, p).transpose(1, 0, 2)
+            maxp = row.shape[0]
+            for j in range(c // p):
+                pg = row[jnp.minimum(start // p + j, maxp - 1)]
+                pg = jnp.where(j * p < n_valid, pg, trash)
+                at = (jnp.int32(0), base + pg, jnp.int32(0), jnp.int32(0))
+                k_pool = jax.lax.dynamic_update_slice(k_pool, kk_p[:, j][:, None], at)
+                v_pool = jax.lax.dynamic_update_slice(v_pool, vv_p[:, j][:, None], at)
+                if ks_pool is not None:
+                    s_at = (at[1], jnp.int32(0), jnp.int32(0))
+                    ks_pool = jax.lax.dynamic_update_slice(ks_pool, ks_p[j][None], s_at)
+                    vs_pool = jax.lax.dynamic_update_slice(vs_pool, vs_p[j][None], s_at)
+        else:  # unaligned (small-page test geometries)
+            k_pool = k_pool.at[:, base + pages_t, offs_t].set(kk_t)
+            v_pool = v_pool.at[:, base + pages_t, offs_t].set(vv_t)
+            if ks_pool is not None:
+                ks_pool = ks_pool.at[base + pages_t, :, offs_t].set(ks_t.T)
+                vs_pool = vs_pool.at[base + pages_t, :, offs_t].set(vs_t.T)
+
+        # --- decode KV writes (one token per live slot) ---
+        kd_w = jnp.swapaxes(k_d, 0, 1)  # [Hkv, B, hd]
+        vd_w = jnp.swapaxes(v_d, 0, 1)
+        if ks_pool is not None:
+            kd_w, kd_s = quant_kv_token(kd_w)  # scales [Hkv, B]
+            vd_w, vd_s = quant_kv_token(vd_w)
+        else:
+            kd_w = kd_w.astype(k_pool.dtype)
+            vd_w = vd_w.astype(v_pool.dtype)
+        for bi in range(b):
+            at = (jnp.int32(0), base + d_pages[bi], d_offs[bi], jnp.int32(0))
+            k_pool = jax.lax.dynamic_update_slice(k_pool, kd_w[:, bi][:, None, None, :], at)
+            v_pool = jax.lax.dynamic_update_slice(v_pool, vd_w[:, bi][:, None, None, :], at)
+            if ks_pool is not None:
+                s_at = (at[1], jnp.int32(0), at[2])
+                ks_pool = jax.lax.dynamic_update_slice(ks_pool, kd_s[:, bi][None, :, None], s_at)
+                vs_pool = jax.lax.dynamic_update_slice(vs_pool, vd_s[:, bi][None, :, None], s_at)
+
+        # --- chunk attention over its gathered context ---
+        kc = k_pool[:, base + row_ids]  # [Hkv, ncp, P, hd]
+        vc = v_pool[:, base + row_ids]
+        if ks_pool is not None:
+            kc = kc.astype(jnp.float32) * jnp.moveaxis(
+                ks_pool[base + row_ids], 1, 0)[..., None]
+            vc = vc.astype(jnp.float32) * jnp.moveaxis(
+                vs_pool[base + row_ids], 1, 0)[..., None]
+        kc = kc.reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+        vc = vc.reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+        attn_c = mha(
+            q_c, kc.astype(cdt), vc.astype(cdt),
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            q_positions=pos_c, kv_positions=kv_pos,
+            causal=True, sliding_window=cfg.sliding_window, impl="auto",
+        )
+
+        # --- decode attention (paged kernel path, as paged_decode_step) ---
+        g = h // hkv
+        qg = q_d[:, 0].reshape(b, hkv, g, hd)
+        kern_ok = hd % 128 == 0 and p % 8 == 0
+        if ks_pool is not None:
+            kern_ok = kern_ok and p % 128 == 0
+        if jax.devices()[0].platform == "tpu" and kern_ok:
+            from usdm_tpu.ops.paged_attention import paged_decode_attention
+
+            attn_d = paged_decode_attention(
+                qg, k_pool, v_pool, page_table + base, pos_d + 1,
+                sliding_window=cfg.sliding_window,
+                k_scales=ks_pool, v_scales=vs_pool,
+            )
+        else:
+            from usdm_tpu.ops.paged_attention import paged_decode_attention_reference
+
+            attn_d = paged_decode_attention_reference(
+                qg, k_pool, v_pool, page_table + base, pos_d + 1,
+                sliding_window=cfg.sliding_window,
+                k_scales=ks_pool, v_scales=vs_pool,
+            )
+
+        attn_all = jnp.concatenate(
+            [attn_c.reshape(c, h * hd), attn_d.reshape(b, h * hd)], axis=0)
+        xa = xa + _psum(qmm(attn_all, lp["wo"]), tp_axis)
+        y2 = M.rms_norm(xa, lp["ln2"], cfg.rms_norm_eps)
+        xa = xa + _psum(
+            qmm(jax.nn.silu(qmm(y2, lp["w_gate"])) * qmm(y2, lp["w_up"]),
+                lp["w_down"]), tp_axis)
+        return (xa, PagedKV(k_pool, v_pool, ks_pool, vs_pool)), None
+
+    (xa, kv), _ = jax.lax.scan(
+        body, (xa, kv),
+        (params["layers"], jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+    )
+    xa = M.rms_norm(xa, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params["lm_head"].astype(xa.dtype)
+    x_d = xa[c:]  # [B, D] decode rows
+
+    if logits_slice is not None:  # greedy sliced tail (see paged_decode_step)
+        lo, hi, extra = logits_slice
+        logits = (x_d @ lm_head[:, lo:hi]).astype(jnp.float32)
+        logits = jnp.where(allow_masks[:, lo:hi], logits, NEG_INF)
+        best = jnp.argmax(logits, axis=-1)
+        nxt = (best + lo).astype(jnp.int32)
+        if extra >= 0:
+            ev = (x_d @ lm_head[:, extra]).astype(jnp.float32)
+            bv = jnp.take_along_axis(logits, best[:, None], axis=-1)[:, 0]
+            take = ev >= bv if extra < lo else ev > bv
+            nxt = jnp.where(take, jnp.int32(extra), nxt)
+    else:
+        logits = (x_d @ lm_head).astype(jnp.float32)
+        if tp_axis is not None:
+            logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
+        logits = jnp.where(allow_masks, logits, NEG_INF)
+        if do_sample:
+            new_keys, use = split_keys(keys)
+            # advance a slot's key only when it actually samples a token
+            # (see paged_decode_step) — keeps sampled outputs independent of
+            # how prefill chunks interleave with decode
+            keys = jnp.where(live[:, None], new_keys, keys)
+            nxt = sample_batched(logits, use, top_k, top_p, temperature,
+                                 needs_filter=needs_filter)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    nxt = jnp.where(live, nxt, 0)
+    # chained bookkeeping (as paged_decode_step_chained)
+    nxt = jnp.where(done, 0, nxt)
+    new_done = jnp.logical_or(done, nxt == eos_ids)
+    new_lens = jnp.where(done | ~active, seq_lens, seq_lens + 1)
+
+    chunk_logits = None
+    if sample_chunk:
+        last = jnp.clip(n_valid - 1, 0, c - 1)
+        chunk_logits = (xa[last] @ lm_head).astype(jnp.float32)
+        if tp_axis is not None:
+            chunk_logits = jax.lax.all_gather(chunk_logits, tp_axis, axis=0,
+                                              tiled=True)
+    return chunk_logits, nxt, new_done, new_lens, keys, kv
 
 
 @partial(jax.jit, static_argnames=("do_sample",))
