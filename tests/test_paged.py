@@ -1162,11 +1162,13 @@ def _staggered(params, ecfg, prompts, allow, kws):
     return eng, [r.output_ids for r in reqs]
 
 
-@pytest.mark.parametrize("sampled", [False, True])
-def test_mixed_prefill_matches_alternating(setup, rng, sampled):
+@pytest.mark.parametrize("sampled,rows", [(False, 4), (True, 4), (False, 2),
+                                          (False, 1)])
+def test_mixed_prefill_matches_alternating(setup, rng, sampled, rows):
     """mixed_prefill=True (prefill chunks coalesced into the decode batch,
     paged_ops.paged_mixed_step) must emit exactly what the alternating
-    scheduler emits, greedy and sampled, under a staggered prefill burst."""
+    scheduler emits, greedy and sampled, at every row-batching width, under
+    a staggered prefill burst."""
     params = setup
     prompts = [rng.integers(3, CFG.vocab_size, size=n).tolist()
                for n in (20, 35, 18, 40)]
@@ -1176,7 +1178,7 @@ def test_mixed_prefill_matches_alternating(setup, rng, sampled):
     with jax.default_matmul_precision("highest"):
         ecfg_m = EngineConfig(page_size=16, max_pages_per_seq=8,
                               max_batch_size=4, prefill_chunk=16,
-                              mixed_prefill=True)
+                              mixed_prefill=True, mixed_min_decode=1, mixed_prefill_rows=rows)
         ecfg_a = EngineConfig(page_size=16, max_pages_per_seq=8,
                               max_batch_size=4, prefill_chunk=16,
                               mixed_prefill=False)
@@ -1189,14 +1191,15 @@ def test_mixed_prefill_matches_alternating(setup, rng, sampled):
 
 
 def test_mixed_prefill_advances_decode_during_burst(setup, rng):
-    """During a multi-chunk prefill burst, ONE tick must advance the decoding
-    slot by (roughly) one token per chunk — the r3 alternating drain gave it
-    zero until the burst ended."""
+    """During a prefill burst, every mixed link must ALSO advance the
+    decoding slot (the r3 alternating drain gave it zero until the burst
+    ended), and batched chunk rows must drain a multi-chunk prompt in one
+    link (mixed_prefill_rows)."""
     params = setup
     allow = np.ones(CFG.vocab_size, bool)
     ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
                         prefill_chunk=16, prefill_chunks_per_tick=4,
-                        mixed_prefill=True)
+                        mixed_prefill=True, mixed_min_decode=1, mixed_prefill_rows=4)
     eng = PagedEngine(params, CFG, ecfg)
     ra = Request(0, rng.integers(3, 96, size=8).tolist(), allow, eos_id=1,
                  max_new_tokens=30)
@@ -1205,12 +1208,35 @@ def test_mixed_prefill_advances_decode_during_burst(setup, rng):
         eng.tick()
     eng.drain_inflight()
     base = len(ra.output_ids)
-    # a 64-token prompt = 4 chunks of prefill, all drained in one tick
+    chunks0 = eng.prefill_chunks
+    # a 64-token prompt = 4 chunks of prefill: all 4 rows batch into ONE
+    # mixed link, and the decoding slot still gains its token that tick
     rb = Request(1, rng.integers(3, 96, size=64).tolist(), allow, eos_id=1,
                  max_new_tokens=4)
     eng.submit(rb)
     eng.tick()
-    assert len(ra.output_ids) >= base + 3  # decode rode the burst
+    assert len(ra.output_ids) >= base + 1  # decode rode the burst
+    assert eng.prefill_chunks - chunks0 == 4  # whole prompt in one tick
+    eng.run([])
+    assert ra.finished and rb.finished
+
+    # rows=1 degenerates to one chunk per link: decode gains ~1 token/chunk
+    ecfg1 = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                         prefill_chunk=16, prefill_chunks_per_tick=4,
+                         mixed_prefill=True, mixed_min_decode=1, mixed_prefill_rows=1)
+    eng = PagedEngine(params, CFG, ecfg1)
+    ra = Request(0, rng.integers(3, 96, size=8).tolist(), allow, eos_id=1,
+                 max_new_tokens=30)
+    eng.submit(ra)
+    for _ in range(3):
+        eng.tick()
+    eng.drain_inflight()
+    base = len(ra.output_ids)
+    rb = Request(1, rng.integers(3, 96, size=64).tolist(), allow, eos_id=1,
+                 max_new_tokens=4)
+    eng.submit(rb)
+    eng.tick()
+    assert len(ra.output_ids) >= base + 3  # one token per chunk link
     eng.run([])
     assert ra.finished and rb.finished
 
@@ -1221,7 +1247,7 @@ def test_mixed_prefill_streaming_first_token_is_eager(setup, rng):
     params = setup
     allow = np.ones(CFG.vocab_size, bool)
     ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
-                        prefill_chunk=16, mixed_prefill=True)
+                        prefill_chunk=16, mixed_prefill=True, mixed_min_decode=1)
     with jax.default_matmul_precision("highest"):
         eng = PagedEngine(params, CFG, ecfg)
         ra = _req(rng, 0, n=8, max_new=20)
@@ -1254,7 +1280,7 @@ def test_mixed_prefill_with_ngram_engine(setup, rng):
     with jax.default_matmul_precision("highest"):
         ecfg = EngineConfig(page_size=16, max_pages_per_seq=8,
                             max_batch_size=4, prefill_chunk=16,
-                            mixed_prefill=True, spec_k=3)
+                            mixed_prefill=True, mixed_min_decode=1, spec_k=3)
         eng_n = PagedEngine(params, CFG, ecfg, draft="ngram")
         reqs = [Request(i, list(p), allow, eos_id=1, max_new_tokens=10)
                 for i, p in enumerate(prompts)]
@@ -1281,7 +1307,7 @@ def test_mixed_prefill_int8_kv(setup, rng):
     with jax.default_matmul_precision("highest"):
         ecfg = EngineConfig(page_size=16, max_pages_per_seq=8,
                             max_batch_size=4, prefill_chunk=16,
-                            mixed_prefill=True, kv_dtype="int8")
+                            mixed_prefill=True, mixed_min_decode=1, kv_dtype="int8")
         eng, outs = _staggered(params, ecfg, prompts, allow, [{}] * 2)
         solos = []
         for i, p in enumerate(prompts):

@@ -345,6 +345,19 @@ class EngineConfig(_Base):
     # (engine.paged_ops.paged_mixed_step) — a prefill burst no longer stalls
     # in-flight decodes for its whole duration.  False = alternate (r3
     # behavior): drain chunks back-to-back, decode between bursts.
+    mixed_min_decode: int = 3     # engage the mixed path only when at least
+    # this many slots are decoding: with a near-empty decode set there is
+    # nothing to ride the chunk's weight reads and the fused link only adds
+    # overhead (8-client wave-synchronized load measured 373 tok/s mixed vs
+    # 439 alternating when waves left dec ~empty; 16-client staggered load
+    # measured 808 vs 563 with dec ~full).
+    mixed_prefill_rows: int = 8   # max prefill chunk rows batched per mixed
+    # dispatch (different requests AND consecutive chunks of one prompt both
+    # allowed): the first client wave's prefill queue drains ~rows-fold
+    # faster, cutting p95 TTFT under concurrent load.  Rows bucket to powers
+    # of two (padded rows are masked + trash-routed).  16-client 7B-int8
+    # sweep on one v5e: rows=1 653 tok/s p95 1.73 s, rows=4 759/0.77,
+    # rows=8 817/0.70, rows=16 801/0.69 (vs alternating 570-585/1.5-1.6).
     runahead: bool = True         # depth-1 chain run-ahead: dispatch the next
     # decode chain from carried device state BEFORE syncing the previous one,
     # hiding the per-chain host RTT (~25 ms tunneled) behind device compute.

@@ -1067,8 +1067,14 @@ class PagedEngine:
             fl, self._inflight = self._inflight, None
             self._sync_chain(fl)
         dec = self.status == DECODE
-        # budget BEFORE pend injection (_safe_horizon reads _pending_first)
-        budget = self._safe_horizon(self.ecfg.prefill_chunks_per_tick, dec)
+        # budget in LINKS, keeping prefill_chunks_per_tick's chunks-per-tick
+        # meaning under row batching; one-link bursts sync (and admit) after
+        # every dispatch, which measures best for both TTFT and throughput
+        # (the per-link sync RTT is small next to an npf-row link's compute).
+        # _safe_horizon runs BEFORE pend injection (it reads _pending_first).
+        links = -(-self.ecfg.prefill_chunks_per_tick
+                  // max(1, self.ecfg.mixed_prefill_rows))
+        budget = self._safe_horizon(links, dec)
         gen = self.slot_gen.copy()
         do_sample = self._do_sample()
         needs_filter = self._needs_filter()
@@ -1093,37 +1099,60 @@ class PagedEngine:
         pf_slots: list = []
         c = self.ecfg.prefill_chunk
         maxp = self.ecfg.max_pages_per_seq
+        npf_max = max(1, self.ecfg.mixed_prefill_rows)
         t0 = _time.perf_counter()
         while self.prefill_order and len(outs) < budget:
-            slot = self.prefill_order[0]
-            req = self.slot_req[slot]
-            start = int(self.prefill_pos[slot])
-            n = min(c, len(req.prompt_ids) - start)
-            ncp = _ctx_pages_bucket(self._pages_needed(start + c), maxp)
-            packed = np.empty(c + 2 + self.page_table.shape[1], np.int32)
-            packed[:c] = 0
-            packed[:n] = req.prompt_ids[start : start + n]
-            packed[c] = start
-            packed[c + 1] = n
-            packed[c + 2 :] = self.page_table[slot]
-            completes = start + n >= len(req.prompt_ids)
+            # pack up to npf_max chunk rows FCFS; consecutive chunks of the
+            # SAME prompt may share a link (in-link causality holds: row j's
+            # KV is written before the layer's context gather — see
+            # paged_ops.paged_mixed_step), so the first client wave's prefill
+            # queue drains ~npf-fold faster than one-chunk links
+            rows_meta: list = []  # (slot, req, start, n, completes)
+            oi = 0
+            while len(rows_meta) < npf_max and oi < len(self.prefill_order):
+                slot = self.prefill_order[oi]
+                req = self.slot_req[slot]
+                start = int(self.prefill_pos[slot])
+                n = min(c, len(req.prompt_ids) - start)
+                completes = start + n >= len(req.prompt_ids)
+                rows_meta.append((slot, req, start, n, completes))
+                self.prefill_pos[slot] = start + n
+                if completes:
+                    oi += 1  # next row serves the next queued prompt
+            npf = 1
+            while npf < len(rows_meta):
+                npf *= 2
+            npf = min(npf, npf_max)
+            packed = np.zeros((npf, c + 2 + self.page_table.shape[1]), np.int32)
+            packed[:, c + 2 :] = self.n_pages - 1  # dummy rows: trash pages
+            ncp = 1
+            for ri, (slot, req, start, n, _) in enumerate(rows_meta):
+                packed[ri, :n] = req.prompt_ids[start : start + n]
+                packed[ri, c] = start
+                packed[ri, c + 1] = n
+                packed[ri, c + 2 :] = self.page_table[slot]
+                ncp = max(ncp, _ctx_pages_bucket(
+                    self._pages_needed(start + c), maxp))
+            any_completes = any(m[4] for m in rows_meta)
             (chunk_logits, tok, done, lens, self._keys_dev,
              self.kv) = paged_mixed_step(
                 self.params, self.kv, self.cfg, jnp.asarray(packed),
                 tok, lens, table, active, done, eos, self._allow_dev,
                 self.ecfg.page_size, ncp, c, self._keys_dev, tk, tp_, tmp,
                 do_sample=do_sample, needs_filter=needs_filter,
-                sample_chunk=completes, logits_slice=lslice,
+                sample_chunk=any_completes, logits_slice=lslice,
             )
             outs.append(tok)
-            self.prefill_chunks += 1
-            self.prefill_pos[slot] = start + n
-            if completes:
+            self.prefill_chunks += len(rows_meta)
+            for ri, (slot, req, start, n, completes) in enumerate(rows_meta):
+                if not completes:
+                    continue
+                assert self.prefill_order[0] == slot
                 self.prefill_order.pop(0)
                 first, new_key = sample_next(
-                    chunk_logits, self._allow_dev[slot], self._keys_dev[slot],
-                    req.top_k, req.top_p, req.temperature,
-                    do_sample=req.sampled,
+                    chunk_logits[ri], self._allow_dev[slot],
+                    self._keys_dev[slot], req.top_k, req.top_p,
+                    req.temperature, do_sample=req.sampled,
                 )
                 self._keys_dev = self._keys_dev.at[slot].set(new_key)
                 self.seq_lens[slot] = len(req.prompt_ids)
@@ -1455,7 +1484,8 @@ class PagedEngine:
             self._try_admit()  # host-side bookkeeping only — no compute
             if (self.prefill_order and self.ecfg.mixed_prefill
                     and self.draft_params is None and self.mesh is None
-                    and (self.status == DECODE).any()):
+                    and int((self.status == DECODE).sum())
+                    >= max(1, self.ecfg.mixed_min_decode)):
                 # decodes in flight: coalesce the prefill chunks INTO the
                 # decode batch — each chunk dispatch also advances every
                 # decoding slot one token on shared weight reads (vLLM

@@ -767,7 +767,7 @@ def paged_mixed_step(
     params: M.Params,
     kv: PagedKV,
     cfg: MistralConfig,
-    packed: jnp.ndarray,  # [c + 2 + maxp] int32: chunk ids | start | n_valid | table row
+    packed: jnp.ndarray,  # [NPF, c + 2 + maxp] int32 rows: ids | start | n_valid | table row
     tokens: jnp.ndarray,  # [B] decode input token per slot
     seq_lens: jnp.ndarray,  # [B]
     page_table: jnp.ndarray,  # [B, maxp]
@@ -788,36 +788,43 @@ def paged_mixed_step(
     tp_axis: Optional[str] = None,
     logits_slice: Optional[Tuple[int, int, int]] = None,
 ):
-    """MIXED prefill+decode: one dispatch advances a prefilling slot's chunk
-    AND every decoding slot by one token -> (chunk_logits | None, token [B],
-    done' [B], seq_lens' [B], keys', kv').
+    """MIXED prefill+decode: one dispatch advances up to NPF prefill chunk
+    rows AND every decoding slot by one token -> (chunk_logits [NPF, V] |
+    None, token [B], done' [B], seq_lens' [B], keys', kv').
 
     vLLM's scheduler coalesces prefill chunks INTO decode batches so an
     admission never stalls in-flight decodes (the engine behind the
     reference's serving path, /root/reference/src/inference_vllm.py:109);
-    the TPU shape of that idea: the chunk's C rows and the decode slots' B
-    rows CONCATENATE into one [C+B, D] activation, so every projection /
-    FFN / lm_head weight matrix is read ONCE for both workloads — decode is
-    weight-read-bound (docs/STATUS.md), so its matmuls ride the chunk's for
-    almost free, where the alternating scheduler paid a full extra weight
-    stream per decode step between chunks.  Attention is the only part that
-    splits: chunk rows run the masked-MHA-over-gathered-pages of
-    paged_prefill_chunk, decode rows the Pallas paged kernel of
+    the TPU shape of that idea: the NPF chunk rows' NPF*C tokens and the
+    decode slots' B rows CONCATENATE into one [NPF*C+B, D] activation, so
+    every projection / FFN weight matrix is read ONCE for all of it —
+    decode is weight-read-bound (docs/STATUS.md), so its matmuls ride the
+    chunks' for almost free, where the alternating scheduler paid a full
+    extra weight stream per decode step between chunks.  Attention is the
+    only part that splits: chunk rows run the masked-MHA-over-gathered-pages
+    of paged_prefill_chunk, decode rows the Pallas paged kernel of
     paged_decode_step; both rejoin for the wo/FFN matmuls.
 
+    Chunk rows may be DIFFERENT requests (batched prefill: the first client
+    wave drains ~NPF-fold faster) or CONSECUTIVE chunks of the same prompt
+    (row j's KV is written before the layer's context gather, and row j+1's
+    kv-length mask covers row j's span, so in-link causality holds).  Fully
+    padded rows (n_valid=0, trash-routed pages) make NPF a static bucket.
+
     The decode side carries the CHAINED bookkeeping (EOS freeze + length
-    update, as paged_decode_step_chained) so a prefill burst of N chunks is
-    N of these links with ONE host sync at the end.  `sample_chunk=True`
-    (static: the chunk completes its prompt — host knows at dispatch) also
-    returns the last-valid-position logits [V] f32 for first-token sampling;
-    otherwise chunk logits are never computed (the full-vocab lm_head read
-    is ~29% of a decode step)."""
+    update, as paged_decode_step_chained) so a prefill burst of N links is
+    N of these with ONE host sync at the end.  `sample_chunk=True` (static:
+    some row completes its prompt — host knows at dispatch) also returns
+    every row's last-valid-position logits [NPF, V] f32 for first-token
+    sampling; otherwise chunk logits are never computed (the full-vocab
+    lm_head read is ~29% of a decode step)."""
     if logits_slice is not None and (do_sample or tp_axis is not None):
         raise ValueError("logits_slice requires greedy single-device decode")
-    chunk_ids = packed[:c]
-    start = packed[c]
-    n_valid = packed[c + 1]
-    row = packed[c + 2:]
+    npf = packed.shape[0]
+    chunk_ids = packed[:, :c]  # [NPF, C]
+    start = packed[:, c]  # [NPF]
+    n_valid = packed[:, c + 1]  # [NPF]
+    rows = packed[:, c + 2:]  # [NPF, maxp]
 
     b = tokens.shape[0]
     hd = cfg.head_dim
@@ -830,17 +837,18 @@ def paged_mixed_step(
     trash = n_pages - 1
     live = jnp.logical_and(active, ~done)
 
-    # --- chunk-side indexing (as paged_prefill_chunk) ---
-    pos_c = (start + jnp.arange(c))[None]  # [1, C] absolute
-    q_seg = jnp.where(jnp.arange(c)[None] < n_valid, 0, -1)
+    # --- chunk-side indexing (as paged_prefill_chunk, batched over NPF) ---
+    pos_c = start[:, None] + jnp.arange(c)[None]  # [NPF, C] absolute
+    q_seg = jnp.where(jnp.arange(c)[None] < n_valid[:, None], 0, -1)
     cos_c, sin_c = M.rope_tables(pos_c, hd, cfg.rope_theta)
-    gidx = start + jnp.arange(c)
-    pages_t = row[jnp.minimum(gidx // p, row.shape[0] - 1)]
-    pages_t = jnp.where(jnp.arange(c) < n_valid, pages_t, trash)
+    maxp = rows.shape[1]
+    gidx = pos_c  # [NPF, C] global write indices
+    pages_t = jnp.take_along_axis(rows, jnp.minimum(gidx // p, maxp - 1), axis=1)
+    pages_t = jnp.where(jnp.arange(c)[None] < n_valid[:, None], pages_t, trash)
     offs_t = gidx % p
-    row_ids = row[:n_ctx_pages]
+    row_ids = rows[:, :n_ctx_pages]  # [NPF, ncp]
     kv_pos = jnp.arange(s_ctx)[None]  # [1, S_ctx]
-    kv_seg = jnp.where(kv_pos < start + n_valid, 0, -1)
+    kv_seg = jnp.where(kv_pos < (start + n_valid)[:, None], 0, -1)  # [NPF, S_ctx]
 
     # --- decode-side indexing (as paged_decode_step) ---
     pos_d = seq_lens
@@ -850,7 +858,8 @@ def paged_mixed_step(
     d_offs = pos_d % p
 
     emb = params["embed"].astype(cdt)
-    xa = jnp.concatenate([emb[chunk_ids], emb[tokens]], axis=0)  # [C+B, D]
+    xa = jnp.concatenate([emb[chunk_ids].reshape(npf * c, -1), emb[tokens]],
+                         axis=0)  # [NPF*C+B, D]
 
     def body(carry, xs):
         xa, kvp = carry
@@ -863,45 +872,53 @@ def paged_mixed_step(
         ka = qmm(ya, lp["wk"])
         va = qmm(ya, lp["wv"])
 
-        q_c = M.apply_rope(qa[:c].reshape(1, c, h, hd), cos_c, sin_c)
-        k_c = M.apply_rope(ka[:c].reshape(1, c, hkv, hd), cos_c, sin_c)
-        v_c = va[:c].reshape(1, c, hkv, hd)
-        q_d = M.apply_rope(qa[c:].reshape(b, 1, h, hd), cos_d, sin_d)
-        k_d = M.apply_rope(ka[c:].reshape(b, 1, hkv, hd), cos_d, sin_d)[:, 0]
-        v_d = va[c:].reshape(b, hkv, hd)
+        nc = npf * c
+        q_c = M.apply_rope(qa[:nc].reshape(npf, c, h, hd), cos_c, sin_c)
+        k_c = M.apply_rope(ka[:nc].reshape(npf, c, hkv, hd), cos_c, sin_c)
+        v_c = va[:nc].reshape(npf, c, hkv, hd)
+        q_d = M.apply_rope(qa[nc:].reshape(b, 1, h, hd), cos_d, sin_d)
+        k_d = M.apply_rope(ka[nc:].reshape(b, 1, hkv, hd), cos_d, sin_d)[:, 0]
+        v_d = va[nc:].reshape(b, hkv, hd)
 
         # --- chunk KV writes (whole pages when aligned; scatter fallback) ---
-        kk_t = k_c[0].transpose(1, 0, 2)  # [Hkv, C, hd]
-        vv_t = v_c[0].transpose(1, 0, 2)
+        kk_t = k_c.transpose(2, 0, 1, 3)  # [Hkv, NPF, C, hd]
+        vv_t = v_c.transpose(2, 0, 1, 3)
         if ks_pool is not None:
-            kk_t, ks_t = quant_kv_token(kk_t)  # scales [Hkv, C]
+            kk_t, ks_t = quant_kv_token(kk_t)  # scales [Hkv, NPF, C]
             vv_t, vs_t = quant_kv_token(vv_t)
         else:
             kk_t = kk_t.astype(k_pool.dtype)
             vv_t = vv_t.astype(v_pool.dtype)
         if c % p == 0:
-            kk_p = kk_t.reshape(hkv, c // p, p, hd)
-            vv_p = vv_t.reshape(hkv, c // p, p, hd)
+            kk_p = kk_t.reshape(hkv, npf, c // p, p, hd)
+            vv_p = vv_t.reshape(hkv, npf, c // p, p, hd)
             if ks_pool is not None:
-                ks_p = ks_t.reshape(hkv, c // p, p).transpose(1, 0, 2)
-                vs_p = vs_t.reshape(hkv, c // p, p).transpose(1, 0, 2)
-            maxp = row.shape[0]
-            for j in range(c // p):
-                pg = row[jnp.minimum(start // p + j, maxp - 1)]
-                pg = jnp.where(j * p < n_valid, pg, trash)
-                at = (jnp.int32(0), base + pg, jnp.int32(0), jnp.int32(0))
-                k_pool = jax.lax.dynamic_update_slice(k_pool, kk_p[:, j][:, None], at)
-                v_pool = jax.lax.dynamic_update_slice(v_pool, vv_p[:, j][:, None], at)
-                if ks_pool is not None:
-                    s_at = (at[1], jnp.int32(0), jnp.int32(0))
-                    ks_pool = jax.lax.dynamic_update_slice(ks_pool, ks_p[j][None], s_at)
-                    vs_pool = jax.lax.dynamic_update_slice(vs_pool, vs_p[j][None], s_at)
+                # page-major [NPF, c/p, Hkv, p] scale tiles
+                ks_p = ks_t.reshape(hkv, npf, c // p, p).transpose(1, 2, 0, 3)
+                vs_p = vs_t.reshape(hkv, npf, c // p, p).transpose(1, 2, 0, 3)
+            for ri in range(npf):
+                for j in range(c // p):
+                    pg = rows[ri, jnp.minimum(start[ri] // p + j, maxp - 1)]
+                    pg = jnp.where(j * p < n_valid[ri], pg, trash)
+                    at = (jnp.int32(0), base + pg, jnp.int32(0), jnp.int32(0))
+                    k_pool = jax.lax.dynamic_update_slice(
+                        k_pool, kk_p[:, ri, j][:, None], at)
+                    v_pool = jax.lax.dynamic_update_slice(
+                        v_pool, vv_p[:, ri, j][:, None], at)
+                    if ks_pool is not None:
+                        s_at = (at[1], jnp.int32(0), jnp.int32(0))
+                        ks_pool = jax.lax.dynamic_update_slice(
+                            ks_pool, ks_p[ri, j][None], s_at)
+                        vs_pool = jax.lax.dynamic_update_slice(
+                            vs_pool, vs_p[ri, j][None], s_at)
         else:  # unaligned (small-page test geometries)
             k_pool = k_pool.at[:, base + pages_t, offs_t].set(kk_t)
             v_pool = v_pool.at[:, base + pages_t, offs_t].set(vv_t)
             if ks_pool is not None:
-                ks_pool = ks_pool.at[base + pages_t, :, offs_t].set(ks_t.T)
-                vs_pool = vs_pool.at[base + pages_t, :, offs_t].set(vs_t.T)
+                ks_pool = ks_pool.at[base + pages_t, :, offs_t].set(
+                    ks_t.transpose(1, 2, 0))
+                vs_pool = vs_pool.at[base + pages_t, :, offs_t].set(
+                    vs_t.transpose(1, 2, 0))
 
         # --- decode KV writes (one token per live slot) ---
         kd_w = jnp.swapaxes(k_d, 0, 1)  # [Hkv, B, hd]
@@ -921,20 +938,21 @@ def paged_mixed_step(
                 ks_pool = jax.lax.dynamic_update_slice(ks_pool, kd_s[:, bi][None, :, None], s_at)
                 vs_pool = jax.lax.dynamic_update_slice(vs_pool, vd_s[:, bi][None, :, None], s_at)
 
-        # --- chunk attention over its gathered context ---
-        kc = k_pool[:, base + row_ids]  # [Hkv, ncp, P, hd]
-        vc = v_pool[:, base + row_ids]
+        # --- chunk attention over each row's gathered context ---
+        abs_ids = base + row_ids  # [NPF, ncp]
+        kc = k_pool[:, abs_ids]  # [Hkv, NPF, ncp, P, hd]
+        vc = v_pool[:, abs_ids]
         if ks_pool is not None:
             kc = kc.astype(jnp.float32) * jnp.moveaxis(
-                ks_pool[base + row_ids], 1, 0)[..., None]
+                ks_pool[abs_ids], 2, 0)[..., None]
             vc = vc.astype(jnp.float32) * jnp.moveaxis(
-                vs_pool[base + row_ids], 1, 0)[..., None]
-        kc = kc.reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
-        vc = vc.reshape(hkv, s_ctx, hd).transpose(1, 0, 2)[None]
+                vs_pool[abs_ids], 2, 0)[..., None]
+        kc = kc.transpose(1, 2, 3, 0, 4).reshape(npf, s_ctx, hkv, hd)
+        vc = vc.transpose(1, 2, 3, 0, 4).reshape(npf, s_ctx, hkv, hd)
         attn_c = mha(
             q_c, kc.astype(cdt), vc.astype(cdt),
             q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-            q_positions=pos_c, kv_positions=kv_pos,
+            q_positions=pos_c, kv_positions=jnp.broadcast_to(kv_pos, (npf, s_ctx)),
             causal=True, sliding_window=cfg.sliding_window, impl="auto",
         )
 
@@ -962,7 +980,7 @@ def paged_mixed_step(
             )
 
         attn_all = jnp.concatenate(
-            [attn_c.reshape(c, h * hd), attn_d.reshape(b, h * hd)], axis=0)
+            [attn_c.reshape(npf * c, h * hd), attn_d.reshape(b, h * hd)], axis=0)
         xa = xa + _psum(qmm(attn_all, lp["wo"]), tp_axis)
         y2 = M.rms_norm(xa, lp["ln2"], cfg.rms_norm_eps)
         xa = xa + _psum(
@@ -976,7 +994,7 @@ def paged_mixed_step(
     )
     xa = M.rms_norm(xa, params["final_norm"], cfg.rms_norm_eps)
     lm_head = params["lm_head"].astype(xa.dtype)
-    x_d = xa[c:]  # [B, D] decode rows
+    x_d = xa[npf * c:]  # [B, D] decode rows
 
     if logits_slice is not None:  # greedy sliced tail (see paged_decode_step)
         lo, hi, extra = logits_slice
@@ -1012,10 +1030,12 @@ def paged_mixed_step(
 
     chunk_logits = None
     if sample_chunk:
-        last = jnp.clip(n_valid - 1, 0, c - 1)
-        chunk_logits = (xa[last] @ lm_head).astype(jnp.float32)
+        x_c = xa[: npf * c].reshape(npf, c, -1)
+        last = jnp.clip(n_valid - 1, 0, c - 1)  # [NPF]
+        x_last = jnp.take_along_axis(x_c, last[:, None, None], axis=1)[:, 0]
+        chunk_logits = (x_last @ lm_head).astype(jnp.float32)  # [NPF, V]
         if tp_axis is not None:
-            chunk_logits = jax.lax.all_gather(chunk_logits, tp_axis, axis=0,
+            chunk_logits = jax.lax.all_gather(chunk_logits, tp_axis, axis=1,
                                               tiled=True)
     return chunk_logits, nxt, new_done, new_lens, keys, kv
 
