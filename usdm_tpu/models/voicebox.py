@@ -170,15 +170,30 @@ def _attention_flash(lp, x, seg, pos, n_heads):
     return out.reshape(b, t, hdim) @ lp["wo"] + lp["bo"]
 
 
-def _encoder_layer(cfg, lp, x, y_mask, bias, flash_ctx=None):
+def _encoder_layer(cfg, lp, x, y_mask, bias, flash_ctx=None, ln_lengths=None):
     """Post-LN block (networks.py:250-266): residual attn -> mask -> LN ->
-    +FFN -> mask -> final LN -> mask."""
+    +FFN -> mask -> final LN -> mask.
+
+    With `ln_lengths` set (TPU, large activations), the residual-add +
+    pad-mask + f32 LayerNorm sequences run as ONE fused Pallas pass each
+    (ops.fused_ln.add_mask_ln).  XLA already fuses the LN reduction into the
+    matmul epilogues, so this only wins where the residual+mask
+    materialization's extra HBM pass dominates (see estimator()'s auto
+    gate).  Same numerics — f32 statistics, bf16 scale/shift."""
     x = x * y_mask
     if flash_ctx is not None:
         seg, pos = flash_ctx
-        h = x + _attention_flash(lp, x, seg, pos, cfg.num_heads)
+        attn = _attention_flash(lp, x, seg, pos, cfg.num_heads)
     else:
-        h = x + _attention(lp, x, bias, cfg.num_heads)
+        attn = _attention(lp, x, bias, cfg.num_heads)
+    if ln_lengths is not None:
+        from usdm_tpu.ops.fused_ln import add_mask_ln
+
+        h = add_mask_ln(x, attn, ln_lengths, lp["ln1_w"], lp["ln1_b"])
+        ff = _gelu(h @ lp["ffn_w1"] + lp["ffn_b1"]) @ lp["ffn_w2"] + lp["ffn_b2"]
+        return add_mask_ln(h, ff, ln_lengths, lp["ln2_w"], lp["ln2_b"],
+                           post_mask=True)
+    h = x + attn
     h = h * y_mask
     h = _layer_norm(h, lp["ln1_w"], lp["ln1_b"])
     ff = _gelu(h @ lp["ffn_w1"] + lp["ffn_b1"]) @ lp["ffn_w2"] + lp["ffn_b2"]
@@ -213,6 +228,8 @@ def estimator(
     remat: bool = False,  # checkpoint each layer (training at 16 s crops
     # needs it: the scan otherwise saves [L/2, B, H, T, T] attention probs)
     attn_impl: str = "auto",  # auto | flash | xla
+    fused_ln: str = "auto",  # auto | fused | xla: fused residual+mask+LN
+    # Pallas pass (ops.fused_ln) — auto uses it on TPU when H tiles
 ) -> jnp.ndarray:
     """Vector-field estimate u(x, y, cond, t) -> [B, n_feats, T]."""
     b, T = x_units.shape
@@ -284,7 +301,23 @@ def estimator(
 
     from functools import partial as _partial
 
-    layer_fn = _partial(_encoder_layer, cfg)
+    if fused_ln == "auto":
+        # Measured on v5e (scripts/trace_estimator.py methodology): XLA
+        # already fuses the f32 LN reductions into the matmul epilogues
+        # (convert_reduce_fusion = FFN matmul + LN), so the kernel only wins
+        # once activations are large enough that the extra HBM pass XLA
+        # spends on the residual+mask materialization dominates its launch
+        # cost: b4/t897 -2.3%, b8/t897 -4.1%; b2-4/t449 -1.5% (worse).
+        use_fused = (
+            jax.devices()[0].platform == "tpu"
+            and H % 128 == 0
+            and b * (T + 1) >= 3072
+        )
+    else:
+        use_fused = fused_ln == "fused"
+    ln_lengths = lengths1 if use_fused else None
+
+    layer_fn = _partial(_encoder_layer, cfg, ln_lengths=ln_lengths)
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
 
@@ -354,18 +387,19 @@ def cfm_loss(
     return loss, {"loss": loss, "nframes": jnp.sum(loss_mask)}
 
 
-def _cfg_estimate(params, cfg, x, z, cond, lengths, t, gradient_scale):
+def _cfg_estimate(params, cfg, x, z, cond, lengths, t, gradient_scale,
+                  fused_ln="auto"):
     """CFG by batch doubling (voicebox.py:60-71): row block 0 = unconditional
     (null units, zero cond), block 1 = conditional; combine (1+s)c - s·u."""
     if gradient_scale <= 0:
-        return estimator(params, cfg, x, z, cond, t, lengths)
+        return estimator(params, cfg, x, z, cond, t, lengths, fused_ln=fused_ln)
     b = x.shape[0]
     x2 = jnp.concatenate([jnp.full_like(x, cfg.n_tokens), x], axis=0)
     z2 = jnp.concatenate([z, z], axis=0)
     c2 = jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
     l2 = jnp.concatenate([lengths, lengths], axis=0)
-    d = estimator(params, cfg, x2, z2, c2, t2, l2)
+    d = estimator(params, cfg, x2, z2, c2, t2, l2, fused_ln=fused_ln)
     d_un, d_cond = d[:b], d[b:]
     return d_cond + gradient_scale * (d_cond - d_un)
 
@@ -379,7 +413,8 @@ def _renoise_prompt(z, cond, t, prompt_len, sigma_min, noise):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "n_timesteps", "solver", "gradient_scale", "speech_prompt"),
+    static_argnames=("cfg", "n_timesteps", "solver", "gradient_scale", "speech_prompt",
+                     "fused_ln"),
 )
 def generate(
     params: Params,
@@ -395,6 +430,7 @@ def generate(
     prompt_len: int | jnp.ndarray = 0,
     z: Optional[jnp.ndarray] = None,
     prompt_noises: Optional[jnp.ndarray] = None,
+    fused_ln: str = "auto",  # see estimator()
 ) -> jnp.ndarray:
     """Sample mel by solving the probability-flow ODE from z ~ N(0, I).
 
@@ -437,7 +473,7 @@ def generate(
         t0, t1 = ts[i], ts[i + 1]
         dt = t1 - t0
         tb = jnp.full((z.shape[0],), t0, z.dtype)
-        dphi = _cfg_estimate(params, cfg, x_units, z, cond, lengths, tb, gradient_scale)
+        dphi = _cfg_estimate(params, cfg, x_units, z, cond, lengths, tb, gradient_scale, fused_ln)
         z = z + dt * dphi.astype(jnp.float32)
         if speech_prompt:
             z = _renoise_prompt(z, cond, t1, prompt_len, sm, _prompt_noise(k1, i, 0))
@@ -449,14 +485,14 @@ def generate(
         t0, t1 = ts[i], ts[i + 1]
         dt = t1 - t0
         tb0 = jnp.full((z.shape[0],), t0, z.dtype)
-        dphi = _cfg_estimate(params, cfg, x_units, z, cond, lengths, tb0, gradient_scale).astype(jnp.float32)
+        dphi = _cfg_estimate(params, cfg, x_units, z, cond, lengths, tb0, gradient_scale, fused_ln).astype(jnp.float32)
         z_hat = z + dt * dphi
         if speech_prompt:
             z_hat = _renoise_prompt(z_hat, cond, t1, prompt_len, sm, _prompt_noise(k1, i, 0))
 
         def correct(z_hat):
             tb1 = jnp.full((z.shape[0],), t1, z.dtype)
-            dphi_hat = _cfg_estimate(params, cfg, x_units, z_hat, cond, lengths, tb1, gradient_scale).astype(jnp.float32)
+            dphi_hat = _cfg_estimate(params, cfg, x_units, z_hat, cond, lengths, tb1, gradient_scale, fused_ln).astype(jnp.float32)
             out = z + dt * (dphi + dphi_hat) / 2.0
             if speech_prompt:
                 out = _renoise_prompt(out, cond, t1, prompt_len, sm, _prompt_noise(k2, i, 1))
