@@ -1316,3 +1316,130 @@ def test_mixed_prefill_int8_kv(setup, rng):
             solo.run([c])
             solos.append(c.output_ids)
     assert outs == solos
+
+
+# ---------------------------------------------------------------- cancel
+
+
+def test_cancel_waiting_request(setup, rng):
+    """Cancelling a queued (never-admitted) request drops it without compute;
+    everything else completes and the page pool recovers."""
+    params = setup
+    # 1-slot engine: the second submit must wait behind the first
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=1)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg)
+        r1 = _req(rng, 0, max_new=8)
+        r2 = _req(rng, 1, max_new=8)
+        eng.submit(r1)
+        eng.submit(r2)
+        eng.tick()  # admits + prefills r1; r2 stays waiting
+        assert eng.cancel(1) is True
+        while eng.busy:
+            eng.tick()
+        eng.drain_inflight()
+    assert r2.cancelled and r2.finished and r2.error is None
+    assert r2.output_ids == []
+    assert r1.finished and len(r1.output_ids) > 0
+    assert eng.stats()["total_cancelled"] == 1
+    assert len(eng.free_pages) == eng.n_pages - 1
+
+
+def test_cancel_mid_decode_frees_slot(setup, rng):
+    """Cancelling a decoding request finishes it immediately: slot FREE,
+    pages back in the pool, engine idle; a later request reuses the slot."""
+    from usdm_tpu.engine.paged import FREE
+
+    params = setup
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ECFG)
+        r = _req(rng, 0, max_new=64)
+        eng.submit(r)
+        eng.tick()  # prefill + first decode work
+        assert eng.busy
+        assert eng.cancel(0) is True
+        eng.drain_inflight()
+    assert r.cancelled and r.finished
+    assert not eng.busy
+    assert (eng.status == FREE).all()
+    assert len(eng.free_pages) == eng.n_pages - 1
+    # unknown / already-finished ids are a no-op
+    assert eng.cancel(0) is False
+    assert eng.cancel(99) is False
+    with jax.default_matmul_precision("highest"):
+        r2 = _req(rng, 1, max_new=6)
+        eng.run([r2])
+        solo = PagedEngine(params, CFG, ECFG)
+        c = Request(1, list(r2.prompt_ids), np.ones(CFG.vocab_size, bool),
+                    eos_id=2, max_new_tokens=6)
+        solo.run([c])
+    assert r2.output_ids == c.output_ids
+
+
+def test_cancel_mid_prefill_session_hold_is_safe(setup, rng):
+    """Cancelling a SESSION request mid-prefill leaves a HOLD that advertises
+    only the kv-written prefix: the session follow-up reuses at most that
+    prefix and its output equals a fresh solo run."""
+    from usdm_tpu.engine.paged import HOLD
+
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                        prefill_chunk=32)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg)
+        prompt = rng.integers(3, CFG.vocab_size, size=56).tolist()
+        r1 = Request(0, list(prompt), np.ones(CFG.vocab_size, bool), eos_id=2,
+                     max_new_tokens=6, session=7)
+        eng.submit(r1)
+        eng._try_admit()
+        assert eng._prefill_tick() is None  # 32 of 56 tokens written
+        assert eng.cancel(0) is True
+        assert r1.cancelled and r1.finished
+        slot = eng.session_slots[7]
+        assert eng.status[slot] == HOLD
+        assert int(eng.seq_lens[slot]) == 32  # only the kv-written prefix
+        # follow-up on the same session with the same prompt: must NOT trust
+        # KV beyond the written 32 tokens
+        r2 = Request(1, list(prompt), np.ones(CFG.vocab_size, bool), eos_id=2,
+                     max_new_tokens=6, session=7)
+        eng.run([r2])
+        eng.release_session(7)
+
+        solo = PagedEngine(params, CFG, ecfg)
+        c = Request(2, list(prompt), np.ones(CFG.vocab_size, bool), eos_id=2,
+                    max_new_tokens=6)
+        solo.run([c])
+    assert r2.output_ids == c.output_ids
+    assert len(eng.free_pages) == eng.n_pages - 1
+
+
+def test_cancel_during_runahead_chain(setup, rng):
+    """cancel() with a dispatched run-ahead chain in flight syncs it first;
+    if the sync already EOS/budget-finished the request, cancel reports
+    False and the absorbed output stands."""
+    params = setup
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=4,
+                        runahead=True, decode_horizon=4)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ecfg)
+        r = _req(rng, 0, max_new=32)
+        eng.submit(r)
+        for _ in range(40):
+            if r.finished or eng._inflight is not None:
+                break
+            eng.tick()
+        got = eng.cancel(0)
+        eng.drain_inflight()
+        while eng.busy:
+            eng.tick()
+    assert r.finished
+    assert got in (True, False)
+    if not got:
+        # sync finished it: output must equal the plain solo run
+        with jax.default_matmul_precision("highest"):
+            solo = PagedEngine(params, CFG, ecfg)
+            c = Request(1, list(r.prompt_ids), np.ones(CFG.vocab_size, bool),
+                        eos_id=2, max_new_tokens=32)
+            solo.run([c])
+        assert r.output_ids == c.output_ids
+    assert len(eng.free_pages) == eng.n_pages - 1

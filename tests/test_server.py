@@ -347,3 +347,114 @@ def test_stream_first_yield_is_eager(params):
                             timeout=60))
     finally:
         server.close()
+
+
+# ---------------------------------------------------------------- cancel
+
+
+def test_stream_close_cancels_request(params, rng):
+    """Closing generate_stream early (SSE client disconnect) cancels the
+    request on the engine: slot + pages free long before the token budget,
+    and the engine goes idle."""
+    import time
+
+    prompt = rng.integers(3, 96, size=9).tolist()
+    allow = np.ones(CFG.vocab_size, bool)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ECFG)
+        with EngineServer(eng) as server:
+            gen = server.generate_stream(prompt, allow, eos_id=1,
+                                         max_new_tokens=100, timeout=300)
+            first = next(gen)
+            assert first
+            gen.close()  # caller vanishes
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                if not eng.busy and eng.stats()["total_cancelled"] == 1:
+                    break
+                time.sleep(0.02)
+            assert eng.stats()["total_cancelled"] == 1
+            assert not eng.busy
+            assert len(eng.free_pages) == eng.n_pages - 1
+
+
+def test_generate_timeout_cancels(params, rng):
+    """generate() raising TimeoutError also aborts the request instead of
+    decoding its full budget for a caller that gave up."""
+    import time
+
+    prompt = rng.integers(3, 96, size=9).tolist()
+    allow = np.ones(CFG.vocab_size, bool)
+    with jax.default_matmul_precision("highest"):
+        eng = PagedEngine(params, CFG, ECFG)
+        with EngineServer(eng) as server:
+            with pytest.raises(TimeoutError):
+                server.generate(prompt, allow, eos_id=1, max_new_tokens=100,
+                                timeout=0.01)
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                if not eng.busy and eng.stats()["total_cancelled"] == 1:
+                    break
+                time.sleep(0.02)
+            assert eng.stats()["total_cancelled"] == 1
+            assert not eng.busy
+
+
+def test_cancel_under_load_fuzz(params, rng):
+    """Mixed full generations and mid-stream abandons under concurrent load:
+    survivors' outputs equal their solo runs, every abandoned request is
+    cancelled, and the page pool fully recovers."""
+    import time
+
+    allow = np.ones(CFG.vocab_size, bool)
+    prompts = [rng.integers(3, 96, size=6 + i).tolist() for i in range(6)]
+    abandon = {1, 3, 4}  # these streams stop reading after the first yield
+
+    with jax.default_matmul_precision("highest"):
+        solo = {}
+        for i, prm in enumerate(prompts):
+            if i in abandon:
+                continue
+            e = PagedEngine(params, CFG, ECFG)
+            r = Request(0, list(prm), allow, eos_id=1, max_new_tokens=12)
+            e.run([r])
+            solo[i] = r.output_ids
+
+        eng = PagedEngine(params, CFG, ECFG)
+        outs = {}
+        errs = {}
+
+        def call(i):
+            try:
+                if i in abandon:
+                    gen = server.generate_stream(prompts[i], allow, eos_id=1,
+                                                 max_new_tokens=100, timeout=300)
+                    next(gen)
+                    gen.close()
+                else:
+                    outs[i] = server.generate(prompts[i], allow, eos_id=1,
+                                              max_new_tokens=12, timeout=300)
+            except Exception as e:  # noqa: BLE001
+                errs[i] = e
+
+        with EngineServer(eng) as server:
+            threads = [threading.Thread(target=call, args=(i,))
+                       for i in range(len(prompts))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(300)
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                if not eng.busy and not eng.waiting:
+                    break
+                time.sleep(0.02)
+            eng_stats = eng.stats()
+
+    assert not errs, errs
+    for i, want in solo.items():
+        assert outs[i] == want, f"prompt {i}: {outs[i]} vs {want}"
+    # every abandoned stream was either cancelled or had already finished;
+    # nothing leaks: all pages home (session-less requests leave no HOLDs)
+    assert eng_stats["total_cancelled"] >= 1
+    assert len(eng.free_pages) == eng.n_pages - 1

@@ -231,7 +231,7 @@ def make_handler(pipe, server, n_timesteps: int):
 
         # ------------------------------------------------------ paged helpers
         def _run_paged_turn(self, q, in_path, out_path, ref_path, steps, seed,
-                            on_tokens=None):
+                            on_tokens=None, abort_check=None):
             """One dialog turn through the shared engine: unit extraction,
             3-stage decode (optionally streaming progress via `on_tokens`),
             synthesis to `out_path`.  LLM stages continuous-batch across
@@ -248,6 +248,7 @@ def make_handler(pipe, server, n_timesteps: int):
                 temperature=_qnum(q, "temperature", float, 1.0),
                 seed=seed,
                 on_tokens=on_tokens,
+                abort_check=abort_check,
             )
             wav, _ = load_wav(in_path, sr=pipe.xlsr_cfg.sample_rate)
             reference = None
@@ -276,7 +277,11 @@ def make_handler(pipe, server, n_timesteps: int):
             synced decode chain (text2text events carry the decoded agent
             text so far — a live preview; the `result` event is
             authoritative, post template-strip), then `result`, then closes.
-            A vanished client stops event writes but the turn completes."""
+            A vanished client ABORTS the turn: the in-flight stage request
+            cancels on the engine (slot + pages free within one chain — the
+            vLLM abort_request analog) instead of decoding its full budget
+            for nobody."""
+            from usdm_tpu.engine.server import DialogAborted
             from usdm_tpu.ops.sampling import STAGE_TEXT2TEXT
 
             self.send_response(200)
@@ -307,7 +312,11 @@ def make_handler(pipe, server, n_timesteps: int):
 
             try:
                 result = self._run_paged_turn(
-                    q, in_path, out_path, ref_path, steps, seed, on_tokens)
+                    q, in_path, out_path, ref_path, steps, seed, on_tokens,
+                    abort_check=lambda: gone)
+            except DialogAborted:
+                self._unlink_turn_files(in_path, out_path, ref_path)
+                return  # nobody is listening; the engine slot is freed
             except Exception as e:  # noqa: BLE001
                 emit("error", {"error": str(e)})
                 self._unlink_turn_files(in_path, out_path, ref_path)

@@ -93,6 +93,7 @@ class Request:
     ttft_s: Optional[float] = None  # submit -> first token latency
     error: Optional[str] = None  # set instead of raising (scheduler runs on a
     # background thread in EngineServer; an exception there would hang callers)
+    cancelled: bool = False  # aborted via PagedEngine.cancel (vLLM abort analog)
 
     @property
     def sampled(self) -> bool:
@@ -293,6 +294,7 @@ class PagedEngine:
         self.spec_emitted = 0
         self.total_emitted = 0  # all tokens emitted across requests
         self.total_finished = 0
+        self.total_cancelled = 0
         self._t0 = __import__("time").time()
         # wall-time accounting per scheduler phase (stats()["perf_s"]):
         # where a tick actually spends time on a tunneled chip — dispatch
@@ -598,6 +600,7 @@ class PagedEngine:
             "prefill_chunks": self.prefill_chunks,
             "total_emitted": self.total_emitted,
             "total_finished": self.total_finished,
+            "total_cancelled": self.total_cancelled,
             "active_slots": int(((self.status == PREFILL) | (self.status == DECODE)).sum()),
             "held_sessions": len(self.session_slots),
             "waiting": len(self.waiting),
@@ -660,6 +663,48 @@ class PagedEngine:
         slot = self.session_slots.get(session)
         if slot is not None:
             self._release_hold(slot)
+
+    def cancel(self, req_id: int) -> bool:
+        """Abort one request (the vLLM `abort_request` analog — the engine
+        behind reference inference_vllm.py:109 frees an aborted request's
+        blocks the same way).
+
+        Must run on the thread that ticks the engine (EngineServer queues
+        cancels to its loop thread).  A waiting request is dropped from the
+        queue; a slot-resident one is finished immediately — its pages
+        return to the pool (or go to session HOLD advertising only the
+        kv-written prefix as reusable).  Returns True when a live request
+        was cancelled, False if it already finished (e.g. the in-flight
+        run-ahead chain's sync EOS-ended it) or is unknown."""
+        for i, r in enumerate(self.waiting):
+            if r.req_id == req_id:
+                self.waiting.pop(i)
+                r.cancelled = True
+                r.finished = True
+                self.total_cancelled += 1
+                return True
+        for slot, r in enumerate(self.slot_req):
+            if r is None or r.req_id != req_id:
+                continue
+            # a dispatched run-ahead chain writes into this slot at sync:
+            # absorb it first so the finish below retires consistent state
+            self.drain_inflight()
+            if self.slot_req[slot] is not r or r.finished:
+                return False  # the sync finished it first
+            r.cancelled = True
+            if self.status[slot] == PREFILL:
+                if slot in self.prefill_order:
+                    self.prefill_order.remove(slot)
+                # only [0, prefill_pos) is kv-written; a session HOLD must
+                # not advertise unwritten KV to _reuse_start (seq_lens is
+                # otherwise stale until prefill completes)
+                self.seq_lens[slot] = int(self.prefill_pos[slot])
+            self._pending_first.pop(slot, None)
+            self._finish(slot)
+            self._dev_dirty = True
+            self.total_cancelled += 1
+            return True
+        return False
 
     def _reclaim_window(self, slot: int) -> None:
         """Return pages wholly below the sliding window to the free pool.

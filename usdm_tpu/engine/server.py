@@ -42,6 +42,7 @@ class EngineServer:
         # horizon 32), it just enqueues and returns to waiting on its event
         self._inbox: List[Request] = []
         self._releases: List[int] = []
+        self._cancels: List[int] = []
         self._ids = itertools.count()
         self._session_ids = itertools.count(1)
         self._running = True
@@ -76,6 +77,10 @@ class EngineServer:
                                 top_k, top_p, temperature, seed, session)
         ev = self._events[rid]
         if not ev.wait(timeout):
+            self.cancel(rid)  # don't keep decoding for a caller that gave up
+            with self._cv:
+                self._events.pop(rid, None)
+                self._reqs.pop(rid, None)
             raise TimeoutError(f"request {rid} timed out after {timeout}s")
         with self._cv:
             self._events.pop(rid, None)
@@ -104,8 +109,9 @@ class EngineServer:
 
         The concatenation of the yields equals `generate()`'s return for the
         same arguments.  `timeout` bounds each wait for progress, not the
-        whole generation.  Closing the generator early does not cancel the
-        request on the engine; it runs to completion in the background."""
+        whole generation.  Closing the generator early (a vanished SSE
+        client) CANCELS the request on the engine — its slot and pages free
+        within one chain instead of decoding the full budget for nobody."""
         rid, req = self._submit(prompt_ids, allow_mask, eos_id, max_new_tokens,
                                 top_k, top_p, temperature, seed, session,
                                 stream=True)
@@ -136,9 +142,12 @@ class EngineServer:
             if req.error is not None:
                 raise RuntimeError(req.error)
         finally:
+            abandoned = not req.finished
             with self._cv:
                 self._events.pop(rid, None)
                 self._reqs.pop(rid, None)
+            if abandoned:
+                self.cancel(rid)
 
     def _submit(self, prompt_ids, allow_mask, eos_id, max_new_tokens,
                 top_k, top_p, temperature, seed, session, stream=False):
@@ -174,6 +183,14 @@ class EngineServer:
             self._releases.append(session)
             self._cv.notify_all()
 
+    def cancel(self, rid: int) -> None:
+        """Queue an abort for the loop thread (vLLM `abort_request` analog):
+        the engine frees the request's slot/pages at its next turn — within
+        one decode chain, not after the full token budget."""
+        with self._cv:
+            self._cancels.append(rid)
+            self._cv.notify_all()
+
     def close(self) -> None:
         with self._cv:
             self._running = False
@@ -194,7 +211,8 @@ class EngineServer:
                     return
                 inbox, self._inbox = self._inbox, []
                 releases, self._releases = self._releases, []
-                if not (inbox or releases or self.engine.busy):
+                cancels, self._cancels = self._cancels, []
+                if not (inbox or releases or cancels or self.engine.busy):
                     self._cv.wait(timeout=self._idle_wait_s)
                     continue
             # engine work happens WITHOUT the lock: callers can submit while a
@@ -204,6 +222,8 @@ class EngineServer:
                     self.engine.release_session(s)
                 for req in inbox:
                     self.engine.submit(req)
+                for rid in cancels:
+                    self.engine.cancel(rid)
                 if self.engine.busy:
                     self.engine.tick()
                 if not self.engine.busy:
@@ -230,6 +250,11 @@ class EngineServer:
                 self._cv.notify_all()
 
 
+class DialogAborted(RuntimeError):
+    """The caller vanished mid-dialog (e.g. SSE client closed the stream);
+    the in-flight stage request was cancelled on the engine."""
+
+
 class PagedDialogPolicy:
     """3-stage dialog driver over an EngineServer.
 
@@ -250,6 +275,7 @@ class PagedDialogPolicy:
         temperature: float = 1.0,
         seed: int = 0,
         on_tokens: Optional[Callable[[str, List[int]], None]] = None,
+        abort_check: Optional[Callable[[], bool]] = None,
     ):
         self.server = server
         self.tok = tokenizer
@@ -263,6 +289,10 @@ class PagedDialogPolicy:
         # chains sync — drives SSE streaming in cli/serve.py; outputs are
         # identical with or without it (generate_stream == generate)
         self.on_tokens = on_tokens
+        # polled between synced chains while streaming: True aborts the
+        # dialog — the stage's request cancels on the engine (slot + pages
+        # free within one chain) and respond_to_units raises DialogAborted
+        self.abort_check = abort_check
         self._stage_idx = 0
         self._session: Optional[int] = None
 
@@ -287,12 +317,17 @@ class PagedDialogPolicy:
         )
         args = (ids, stage_allow_mask(stage, self.ts), stage_eos(stage, self.ts),
                 self._budget(len(ids)))
-        if self.on_tokens is None:
+        if self.on_tokens is None and self.abort_check is None:
             return self.server.generate(*args, **kwargs)
         out: List[int] = []
         for delta in self.server.generate_stream(*args, **kwargs):
             out.extend(delta)
-            self.on_tokens(stage, delta)
+            if self.on_tokens is not None:
+                self.on_tokens(stage, delta)
+            if self.abort_check is not None and self.abort_check():
+                # raising inside the for closes the generator; its teardown
+                # cancels the request on the engine
+                raise DialogAborted(f"caller gone during stage {stage}")
         return out
 
     def respond_to_units(self, user_units: List[int]) -> DialogResult:
