@@ -811,6 +811,49 @@ def test_tp_ngram_matches_single_device(setup, rng):
     assert etp.spec_rounds > 0
 
 
+def test_tp4_gqa_engine_matches_single_device(rng):
+    """tp=4 at the PRODUCTION head geometry ratio (GQA 4:1, the 7B's 32q/8kv —
+    here 16q/4kv so one kv head lands per device): the paged engine over a
+    4-way 'model' mesh must emit exactly what the single-device engine emits,
+    with chained decode + run-ahead + speculation all live.  The tiny 2-kv-head
+    config used elsewhere caps TP at 2, so v5e-8-style shardings (kv heads
+    split to 1/device, q groups device-local) were never exercised before this
+    (VERDICT r3 item 5)."""
+    from usdm_tpu.engine.tp import make_tp_mesh
+
+    cfg = MistralConfig(
+        vocab_size=96, hidden_size=256, intermediate_size=128,
+        num_layers=2, num_heads=16, num_kv_heads=4, head_dim=16,
+        sliding_window=64, max_seq_len=256, dtype="float32",
+    )
+    params = M.init_params(cfg, jax.random.PRNGKey(7), dtype="float32")
+    mesh = make_tp_mesh(4)
+    ecfg = EngineConfig(page_size=16, max_pages_per_seq=8, max_batch_size=3,
+                        prefill_chunk=16, spec_k=3)
+    allow = np.ones(cfg.vocab_size, bool)
+    prompts = [rng.integers(3, cfg.vocab_size, size=8 + 3 * i).tolist()
+               for i in range(3)]
+
+    def mk(i):
+        # all-greedy: speculation engages only for greedy batches, and greedy
+        # is what stresses the sharded head geometry (sampling happens on the
+        # replicated logits and is tp=2-covered above)
+        return Request(i, list(prompts[i]), allow, eos_id=1, max_new_tokens=8)
+
+    with jax.default_matmul_precision("highest"):
+        e1 = PagedEngine(params, cfg, ecfg.replace(spec_k=0))
+        base = [mk(i) for i in range(3)]
+        e1.run(base)
+
+        etp = PagedEngine(params, cfg, ecfg, mesh=mesh, draft=(params, cfg))
+        tp_reqs = [mk(i) for i in range(3)]
+        etp.run(tp_reqs)
+
+    for a, b in zip(base, tp_reqs):
+        assert a.output_ids == b.output_ids, (a.req_id, a.output_ids, b.output_ids)
+    assert etp.spec_rounds > 0, "speculation must run under tp=4"
+
+
 def test_scheduler_fuzz_invariants(setup):
     """Randomized scheduler stress: staggered arrivals, mixed greedy/sampled
     requests, sessions, a spec draft, a tight page pool forcing eviction.
