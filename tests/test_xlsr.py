@@ -149,3 +149,33 @@ def test_extract_units_bucketed_degenerate(models):
     _, params = models
     for n in (0, 1, CFG.conv_kernels[0] - 1):
         assert X.extract_units_bucketed(params, CFG, np.zeros(n, np.float32)) == []
+
+
+def test_encode_flash_matches_xla(models, rng, monkeypatch):
+    """The TPU path (attn_impl="flash", VERDICT-r3 item 6) must match the XLA
+    path at the feature level, and exactly at the unit level.  Run the Pallas
+    kernel in interpret mode on CPU; includes a padded-length row so the
+    segment-(-1) tail masking is exercised through the flash kernel too."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+    _, params = models
+    wav = rng.standard_normal((2, 3200)).astype(np.float32) * 0.1
+    lengths = jnp.asarray([3200, 2000])
+    fx, lx = X.encode(params, CFG, jnp.asarray(wav), lengths,
+                      attn_impl="xla")
+    ff, lf = X.encode(params, CFG, jnp.asarray(wav), lengths,
+                      attn_impl="flash")
+    np.testing.assert_array_equal(np.asarray(lx), np.asarray(lf))
+    for i, n in enumerate(np.asarray(lx)):
+        np.testing.assert_allclose(np.asarray(fx)[i, :n], np.asarray(ff)[i, :n],
+                                   rtol=2e-5, atol=2e-5)
+    ux = X.kmeans_assign(fx, params["centroids"])
+    uf = X.kmeans_assign(ff, params["centroids"])
+    for i, n in enumerate(np.asarray(lx)):
+        np.testing.assert_array_equal(np.asarray(ux)[i, :n],
+                                      np.asarray(uf)[i, :n])

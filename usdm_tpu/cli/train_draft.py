@@ -62,7 +62,10 @@ def main(argv=None) -> int:
     p.add_argument("--export_hf", default=None,
                    help="after training, export the draft as an HF-Mistral "
                         "dir, ready for --draft_dir on serve/infer")
+    from usdm_tpu.core import distributed as D
+    D.add_cli_args(p)
     args = p.parse_args(argv)
+    D.initialize_from_args(args)
 
     import jax
     import jax.numpy as jnp
@@ -105,7 +108,7 @@ def main(argv=None) -> int:
         seed=args.seed, dp=args.dp, tp=args.tp,
         save_every=args.save_steps, keep_checkpoints=args.save_total_limit,
     )
-    mesh = create_mesh(dp=args.dp, tp=args.tp)
+    mesh = D.make_cli_mesh(args)
     opt = T.make_optimizer(tc)
     state, shardings = T.init_state(cfg_d, tc, mesh, key, opt)
     state = T.TrainState(

@@ -82,7 +82,10 @@ def main(argv=None) -> int:
                         "any HF-layout consumer)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture a jax.profiler trace for the first N steps")
+    from usdm_tpu.core import distributed as D
+    D.add_cli_args(p)
     args = p.parse_args(argv)
+    D.initialize_from_args(args)
 
     import jax
     import jax.numpy as jnp
@@ -116,7 +119,9 @@ def main(argv=None) -> int:
         save_every=args.save_steps, keep_checkpoints=args.save_total_limit,
     )
 
-    mesh = create_mesh(dp=args.dp, tp=args.tp)
+    mesh = D.make_cli_mesh(args)
+    # replica (multi-slice) replication doesn't change per-chip param memory;
+    # the budget depends on the intra-slice (data, model) factors only
     budget = T.memory_budget(cfg, dp=mesh.shape["data"], tp=mesh.shape["model"],
                              seq_len=args.max_input_length,
                              batch_per_chip=max(tc.batch_size // mesh.shape["data"], 1),

@@ -49,7 +49,10 @@ def main(argv=None) -> int:
     p.add_argument("--export_hf", default=None,
                    help="after training, export final params (LoRA merged if "
                         "--lora) as an HF-Mistral dir")
+    from usdm_tpu.core import distributed as D
+    D.add_cli_args(p)
     args = p.parse_args(argv)
+    D.initialize_from_args(args)
 
     import jax
     import jax.numpy as jnp
@@ -75,7 +78,7 @@ def main(argv=None) -> int:
     max_steps = args.max_steps or steps_per_epoch * args.num_train_epochs
     tc = TrainConfig(learning_rate=args.learning_rate, batch_size=args.train_batch_size,
                      max_steps=max_steps, seed=args.seed, dp=args.dp, tp=args.tp)
-    mesh = create_mesh(dp=args.dp, tp=args.tp)
+    mesh = D.make_cli_mesh(args)
     logger = MetricsLogger(args.output_dir)
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
     pad_id = cfg.vocab_size - 1

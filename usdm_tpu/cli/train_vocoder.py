@@ -45,7 +45,14 @@ def main(argv=None) -> int:
     p.add_argument("--export", default=None,
                    help="after training, export the generator as config.json "
                         "+ bigvgan_generator.pt (reference layout)")
+    from usdm_tpu.core import distributed as D
+    D.add_cli_args(p)
     args = p.parse_args(argv)
+    if args.num_slices > 1:
+        p.error("this trainer is plain DP: multi-host needs no replica axis "
+                "(a single `data` axis spans slices; grads all-reduce over "
+                "DCN automatically) — drop --num_slices")
+    D.initialize_from_args(args)
 
     import jax
     import jax.numpy as jnp

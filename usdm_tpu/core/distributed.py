@@ -43,6 +43,41 @@ def initialize(
             raise
 
 
+def add_cli_args(p) -> None:
+    """Attach the standard multi-host launch flags to a train CLI parser —
+    the analog of the reference's accelerate `--main_process_ip /
+    --machine_rank` recipe (/root/reference/src/README.md:25-31)."""
+    g = p.add_argument_group("distributed (multi-host launch)")
+    g.add_argument("--coordinator", default=None,
+                   help="rank-0 host:port; omit on TPU pods (auto-discovery)")
+    g.add_argument("--num_processes", type=int, default=None,
+                   help="total process count (one per host)")
+    g.add_argument("--process_id", type=int, default=None,
+                   help="this host's rank in [0, num_processes)")
+    g.add_argument("--num_slices", type=int, default=1,
+                   help="multi-slice pods: >1 builds a (replica, data, model) "
+                        "DCN mesh (core.mesh.create_dcn_mesh) — DP across "
+                        "slices, FSDP/TP within")
+
+
+def initialize_from_args(args) -> None:
+    """Call `initialize` iff the CLI flags (or a >1-process env) ask for it."""
+    if args.coordinator is not None or (args.num_processes or 0) > 1:
+        initialize(args.coordinator, args.num_processes, args.process_id)
+
+
+def make_cli_mesh(args):
+    """Build the train mesh a CLI asked for: single-slice (data, model) or,
+    with --num_slices > 1, the multi-slice (replica, data, model) layout."""
+    from usdm_tpu.core.mesh import create_dcn_mesh, create_mesh
+
+    tp = getattr(args, "tp", 1)
+    dp = getattr(args, "dp", -1)
+    if args.num_slices > 1:
+        return create_dcn_mesh(num_slices=args.num_slices, dp=dp, tp=tp)
+    return create_mesh(dp=dp, tp=tp)
+
+
 def process_info() -> dict:
     import jax
 

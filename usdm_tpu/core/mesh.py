@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+REPLICA_AXIS = "replica"  # multi-slice pods: plain DP across slices over DCN
 
 
 def create_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
@@ -39,6 +40,44 @@ def create_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
 
 def single_device_mesh() -> Mesh:
     return create_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+
+
+def create_dcn_mesh(num_slices: int, dp: int = -1, tp: int = 1,
+                    devices=None) -> Mesh:
+    """Build a (replica, data, model) mesh for a multi-slice pod.
+
+    The reference scales past one node with accelerate's multi-machine NCCL
+    launch (/root/reference/src/README.md:25-31; 64 nodes for pre-training,
+    src/README.md:66).  The TPU equivalent is hierarchical: collectives over
+    the `replica` axis cross slices on DCN, so only the cheap per-step grad
+    all-reduce rides it — FSDP's per-layer param all-gathers stay on `data`
+    (ICI, within a slice).  Batches shard over (replica, data); params keep
+    their (data, model) specs and are replicated across slices (the unnamed
+    axis), which is exactly DP-across-slices + ZeRO-within-slice.
+
+    On real multi-slice hardware the device order comes from
+    `mesh_utils.create_hybrid_device_mesh` (ICI-contiguous inner axes);
+    elsewhere (virtual CPU meshes, single slice) `jax.devices()` is
+    process-ordered, so reshaping puts the process/DCN boundary on the outer
+    axis — the same topology the 4-process smoke test exercises.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % num_slices == 0, f"{n} devices not divisible by {num_slices} slices"
+    per_slice = n // num_slices
+    if dp == -1:
+        assert per_slice % tp == 0
+        dp = per_slice // tp
+    assert num_slices * dp * tp == n, (num_slices, dp, tp, n)
+    if any(getattr(d, "slice_index", None) not in (None, 0) for d in devices):
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, dp, tp), (num_slices, 1, 1), devices=devices)
+    else:
+        arr = np.asarray(devices).reshape(num_slices, dp, tp)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
 def sharding(mesh: Mesh, *spec) -> NamedSharding:

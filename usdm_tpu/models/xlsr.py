@@ -150,6 +150,7 @@ def encode(
     lengths: Optional[jnp.ndarray] = None,  # [B] valid samples
     output_layer: Optional[int] = None,
     normalize: bool = True,
+    attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (features [B, T', H] tapped after `output_layer` layers,
     feat_lengths [B]).
@@ -193,6 +194,17 @@ def encode(
     x = x + _pos_conv(params, cfg, x)
 
     tp = x.shape[1]
+    if attn_impl == "auto":
+        # Pallas flash kernel for LONG clips only (VERDICT-r3 item 6): the
+        # XLA path materializes [B, 16, T', T'] f32 scores per layer — 14 GB
+        # at a 5-min clip (T'=15000), a preprocessing OOM — while flash never
+        # builds them.  Measured crossover on v5e (f32, head_dim 80): XLA
+        # wins to ~30 s (109 vs 127 ms), flash from ~60 s (237 vs 243 ms) and
+        # 120 s (626 vs 652 ms); the d=80 lane padding + block-pad overhead
+        # dominates below that.  Valid frames agree to 2e-5 and units exactly
+        # (tests/test_xlsr.py::test_encode_flash_matches_xla).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        attn_impl = "flash" if (on_tpu and tp >= 2048) else "xla"
     seg = jnp.where(jnp.arange(tp)[None, :] < feat_len[:, None], 0, -1)
     pos = jnp.broadcast_to(jnp.arange(tp)[None], (b, tp))
 
@@ -209,7 +221,8 @@ def encode(
         kk = (y @ p["wk"] + p["bk"]).reshape(b, tp, nh, hd)
         vv = (y @ p["wv"] + p["bv"]).reshape(b, tp, nh, hd)
         attn = mha(q, kk, vv, q_segment_ids=seg, kv_segment_ids=seg,
-                   q_positions=pos, kv_positions=pos, causal=False, impl="xla")
+                   q_positions=pos, kv_positions=pos, causal=False,
+                   impl=attn_impl)
         x = x + attn.reshape(b, tp, cfg.hidden_size) @ p["wo"] + p["bo"]
         y = _layer_norm(x, p["ln2_w"], p["ln2_b"])
         x = x + _gelu(y @ p["ffn_w1"] + p["ffn_b1"]) @ p["ffn_w2"] + p["ffn_b2"]
@@ -226,7 +239,8 @@ def kmeans_assign(features: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "output_layer", "normalize"))
+@partial(jax.jit,
+         static_argnames=("cfg", "output_layer", "normalize", "attn_impl"))
 def extract_units(
     params: Params,
     cfg: XlsrConfig,
@@ -234,10 +248,12 @@ def extract_units(
     lengths: Optional[jnp.ndarray] = None,
     output_layer: Optional[int] = None,
     normalize: bool = True,
+    attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """wav -> (units [B, T'] int32, unit_lengths [B]).  50 Hz, no dedup
     (reference keeps duplicates; decoder/scripts/preprocess.py:40)."""
-    feats, feat_len = encode(params, cfg, wav, lengths, output_layer, normalize)
+    feats, feat_len = encode(params, cfg, wav, lengths, output_layer,
+                             normalize, attn_impl)
     units = kmeans_assign(feats, params["centroids"])
     return units, feat_len
 

@@ -73,8 +73,17 @@ def make_optimizer(tc: TrainConfig, total_steps: Optional[int] = None) -> optax.
     )
 
 
-def batch_spec() -> Dict[str, P]:
-    s = P(DATA_AXIS, None)
+def batch_spec(mesh: Optional[Mesh] = None) -> Dict[str, P]:
+    """Batch rows shard over `data` — and, on a multi-slice (replica, data,
+    model) mesh (core.mesh.create_dcn_mesh), over (replica, data): each slice
+    takes a contiguous batch block, so the only cross-slice (DCN) collective
+    the train step needs is the per-step gradient all-reduce."""
+    from usdm_tpu.core.mesh import REPLICA_AXIS
+
+    axes: Any = DATA_AXIS
+    if mesh is not None and REPLICA_AXIS in mesh.axis_names:
+        axes = (REPLICA_AXIS, DATA_AXIS)
+    s = P(axes, None)
     return {"input_ids": s, "labels": s, "segment_ids": s, "positions": s}
 
 
@@ -236,7 +245,7 @@ def make_offload_train_step(
         sched = optax.linear_schedule(tc.learning_rate, 0.0, max(total - warmup, 1), warmup)
 
     state_sh, host_m_flat = _offload_shardings(cfg, mesh)
-    batch_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_spec(), is_leaf=lambda x: isinstance(x, P))
+    batch_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_spec(mesh), is_leaf=lambda x: isinstance(x, P))
     dev_flat = [s.with_memory_kind("device") for s in host_m_flat]
 
     def loss_fn(params, batch):
@@ -281,7 +290,7 @@ def make_train_step(
     opt = opt or make_optimizer(tc)
     specs = state_specs(cfg, opt)
     state_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs, is_leaf=lambda x: isinstance(x, P))
-    batch_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_spec(), is_leaf=lambda x: isinstance(x, P))
+    batch_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_spec(mesh), is_leaf=lambda x: isinstance(x, P))
 
     def loss_fn(params, batch):
         # bf16 compute over f32 masters; norms stay f32 inside rms_norm
@@ -388,7 +397,7 @@ def memory_budget(
 
 
 def make_eval_step(cfg: MistralConfig, tc: TrainConfig, mesh: Mesh, attn_impl: str = "auto"):
-    batch_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_spec(), is_leaf=lambda x: isinstance(x, P))
+    batch_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_spec(mesh), is_leaf=lambda x: isinstance(x, P))
 
     def step(params, batch):
         p_c = jax.tree.map(

@@ -84,7 +84,7 @@ def make_lora_train_step(
 
     opt = opt or make_optimizer(tc)
     repl = NamedSharding(mesh, P())
-    b_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_spec(), is_leaf=lambda x: isinstance(x, P))
+    b_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_spec(mesh), is_leaf=lambda x: isinstance(x, P))
 
     def loss_fn(lora, base, batch):
         return M.loss_fn(
