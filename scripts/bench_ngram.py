@@ -1,0 +1,90 @@
+"""Draft-free ngram (prompt-lookup) speculation vs plain chained decode.
+
+Measures the b=1 7B-int8 engine at stage-C-like geometry (1219-token
+context, 256 new tokens — the unit stage is 2.80 s of the 4.67 s turn) in
+three weight regimes, because ngram acceptance is entirely a property of
+how repetitive the DECODED stream is (vLLM's prompt-lookup analog —
+reference inference_vllm.py:109; unit streams are 50 Hz with no dedup, so
+real checkpoints repeat heavily — SURVEY §3, decoder/scripts/preprocess.py:40):
+
+  zero    — zero weights: greedy emits a constant token (maximal repetition;
+            the acceptance CEILING and the bench.py weight regime)
+  random  — random weights: greedy usually falls into a short attractor
+            cycle; acceptance is whatever the cycle structure gives
+
+The worthless-proposal FLOOR stays the bench_spec_degraded number (30 tok/s
+of pure round overhead with a model draft; ngram rounds are cheaper — no
+draft forward — so their floor is higher).
+
+Outputs are asserted token-identical to plain greedy (lossless speculation).
+
+Run: python scripts/bench_ngram.py            (on the real chip)
+"""
+
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from usdm_tpu.core.config import EngineConfig, MistralConfig
+    from usdm_tpu.engine.paged import PagedEngine, Request
+    from usdm_tpu.models import mistral as M
+    from usdm_tpu.models.quant import quantize_llm_params
+
+    cfg = MistralConfig()
+    rng = np.random.default_rng(0)
+    allow = np.ones(cfg.vocab_size, bool)
+    allow[:3] = False  # EOS unreachable: measure the budget-bound steady state
+    plen, n_new = 1219, 256
+    prompt = rng.integers(3, 32000, plen).tolist()
+
+    rand_params = jax.jit(lambda: quantize_llm_params(
+        M.init_params(cfg, jax.random.PRNGKey(0))))()
+    zero_params = jax.tree.map(lambda x: jnp.zeros_like(x), rand_params)
+
+    def run(params, draft, spec_k=4, reps=2):
+        ecfg = EngineConfig(page_size=64, max_pages_per_seq=24,
+                            max_batch_size=1, prefill_chunk=512,
+                            decode_horizon=16, spec_k=spec_k)
+        eng = PagedEngine(params, cfg, ecfg, draft=draft)
+        warm = Request(0, prompt, allow, eos_id=2, max_new_tokens=16)
+        eng.run([warm])
+        best, out = float("inf"), None
+        for i in range(reps):
+            r = Request(10 + i, prompt, allow, eos_id=2, max_new_tokens=n_new)
+            t0 = time.perf_counter()
+            eng.run([r])
+            best = min(best, time.perf_counter() - t0)
+            out = r.output_ids
+        acc = (eng.spec_emitted / eng.spec_rounds) if eng.spec_rounds else None
+        return best, out, acc
+
+    for name, params in (("zero", zero_params), ("random", rand_params)):
+        t_plain, out_plain, _ = run(params, draft=None)
+        t_ng, out_ng, acc = run(params, draft="ngram")
+        assert out_ng == out_plain, f"{name}: ngram output != plain greedy"
+        # repetition diagnostic: longest tail period of the decoded stream
+        tail = out_plain[-128:]
+        period = next((p for p in range(1, 65)
+                       if tail[p:] == tail[:-p]), None)
+        print(f"{name:7s} plain {n_new / t_plain:6.1f} tok/s | "
+              f"ngram {n_new / t_ng:6.1f} tok/s "
+              f"({t_plain / t_ng:4.2f}x) | accept/round "
+              f"{acc if acc is None else round(acc, 2)} | "
+              f"tail period {period}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

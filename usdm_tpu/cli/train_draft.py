@@ -62,10 +62,10 @@ def main(argv=None) -> int:
     p.add_argument("--export_hf", default=None,
                    help="after training, export the draft as an HF-Mistral "
                         "dir, ready for --draft_dir on serve/infer")
-    from usdm_tpu.core import distributed as D
-    D.add_cli_args(p)
+    from usdm_tpu.core import distributed as dist
+    dist.add_cli_args(p)
     args = p.parse_args(argv)
-    D.initialize_from_args(args)
+    dist.initialize_from_args(args)
 
     import jax
     import jax.numpy as jnp
@@ -73,7 +73,6 @@ def main(argv=None) -> int:
     from usdm_tpu.core import checkpoint as ckpt
     from usdm_tpu.core.config import MistralConfig, TrainConfig
     from usdm_tpu.core.logging import MetricsLogger
-    from usdm_tpu.core.mesh import create_mesh
     from usdm_tpu.data.collators import pack_collate
     from usdm_tpu.models import mistral as M
     from usdm_tpu.train import distill as D
@@ -108,7 +107,7 @@ def main(argv=None) -> int:
         seed=args.seed, dp=args.dp, tp=args.tp,
         save_every=args.save_steps, keep_checkpoints=args.save_total_limit,
     )
-    mesh = D.make_cli_mesh(args)
+    mesh = dist.make_cli_mesh(args)
     opt = T.make_optimizer(tc)
     state, shardings = T.init_state(cfg_d, tc, mesh, key, opt)
     state = T.TrainState(

@@ -134,7 +134,18 @@ def snake_beta(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, logscale: 
 
 
 def activation1d(x: jnp.ndarray, act_params: Dict[str, jnp.ndarray], cfg: BigVGANConfig) -> jnp.ndarray:
-    """up(2x) -> snake -> down(2x) anti-aliasing sandwich (act.py:8-27)."""
+    """up(2x) -> snake -> down(2x) anti-aliasing sandwich (act.py:8-27).
+
+    On TPU the whole sandwich runs as ONE Pallas pass (ops/fused_act.py:
+    the 2x intermediate never round-trips HBM); elsewhere, and for
+    gradients, the plain three-op composition below."""
+    if cfg.fused_act:
+        from usdm_tpu.ops.fused_act import fused_activation1d
+
+        snakebeta = cfg.activation == "snakebeta"
+        return fused_activation1d(
+            x, act_params["alpha"], act_params.get("beta") if snakebeta else None,
+            cfg.snake_logscale, snakebeta)
     x = upsample2(x)
     if cfg.activation == "snakebeta":
         x = snake_beta(x, act_params["alpha"], act_params["beta"], cfg.snake_logscale)
@@ -274,12 +285,7 @@ def generator(params: Params, cfg: BigVGANConfig, mel: jnp.ndarray) -> jnp.ndarr
             xs = out if xs is None else xs + out
         x = xs / nk
 
-    if cfg.activation == "snakebeta":
-        x = upsample2(x)
-        x = snake_beta(x, params["act_post"]["alpha"], params["act_post"]["beta"], cfg.snake_logscale)
-        x = downsample2(x)
-    else:
-        x = activation1d(x, params["act_post"], cfg)
+    x = activation1d(x, params["act_post"], cfg)
     x = conv1d(x, params["conv_post_w"], params["conv_post_b"], padding=3)
     x = jnp.tanh(x)
     return jnp.swapaxes(x, 1, 2)  # [B, 1, T]
