@@ -61,6 +61,9 @@ def main():
         eng = PagedEngine(params, cfg, ecfg, draft=draft)
         warm = Request(0, prompt, allow, eos_id=2, max_new_tokens=16)
         eng.run([warm])
+        # acceptance must cover ONLY the timed reps, not the 16-token warmup
+        # (ADVICE r4): reset the engine's cumulative spec counters here
+        eng.spec_rounds, eng.spec_emitted = 0, 0
         best, out = float("inf"), None
         for i in range(reps):
             r = Request(10 + i, prompt, allow, eos_id=2, max_new_tokens=n_new)

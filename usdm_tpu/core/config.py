@@ -192,6 +192,12 @@ class BigVGANConfig(_Base):
     activation: str = "snakebeta"
     snake_logscale: bool = True
     sampling_rate: int = 22050
+    # Run the up->snake->down anti-aliasing sandwich as one fused Pallas pass
+    # (ops/fused_act.py) instead of the three-op XLA composition.  Measured
+    # 2.2x on BigVGAN at full 22khz_80band geometry on one chip (RTF 0.0578
+    # -> 0.0263, scripts/bench_fused_act.py); falls back to the XLA
+    # composition off-TPU and for gradients.
+    fused_act: bool = True
 
     @classmethod
     def tiny(cls) -> "BigVGANConfig":

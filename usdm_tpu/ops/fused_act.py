@@ -65,11 +65,12 @@ def _snake_f32(x, a_ref, b_ref, logscale, snakebeta):
     return x + (1.0 / (b[None, :] + 1e-9)) * (s * s)
 
 
-def _kernel(x_ref, a_ref, b_ref, o_ref, *, bt, fe, fo, ge, go, logscale,
-            snakebeta):
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    w = x_ref[bi, pl.ds(ti * bt, bt + 16), :].astype(jnp.float32)  # [bt+16, C]
+def _kernel(x0_ref, x1_ref, a_ref, b_ref, o_ref, *, bt, fe, fo, ge, go,
+            logscale, snakebeta):
+    # block ti's window is its own bt-tile plus a 16-sample halo taken from
+    # the head of tile ti+1 (two block-aligned views of the same padded
+    # input — VMEM holds 2 tiles, never the whole array)
+    w = jnp.concatenate([x0_ref[0], x1_ref[0, :16]], axis=0).astype(jnp.float32)
     n = bt + 6
     e = fe[0] * w[0:n]
     o = fo[0] * w[1 : 1 + n]
@@ -84,17 +85,23 @@ def _kernel(x_ref, a_ref, b_ref, o_ref, *, bt, fe, fo, ge, go, logscale,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def _pallas_core(x, alpha, beta, logscale, snakebeta, interpret=False):
+def _pallas_core(x, alpha, beta, logscale, snakebeta, interpret=False,
+                 bt_override=None):
     """Fused sandwich over [B, T, C]; outputs t in [3, T-4] are exact,
     the 3 samples at each end are computed under interior (no up-space
     clamp) assumptions and must be patched by the caller."""
     bsz, t, c = x.shape
-    bt = min(_BT, t)
+    # cap the tile so the f32 working set (window + 4 snake phases + output,
+    # ~6 bt*c-sized f32 buffers) stays well under the ~16 MB VMEM even at
+    # BigVGAN's widest activation1d stage (C=768); >=16 so the halo fits in
+    # one neighbor tile
+    bt = bt_override or max(16, min(_BT, t, (1 << 17) // c) // 8 * 8)
     n = pl.cdiv(t, bt)
     fe, fo, ge, go = _filters()
-    # X[i] = xp[i-1] = x[i-6] (xp = pad5(x)); right pad covers the last
-    # block's halo plus the round-up to a whole block
-    xe = jnp.pad(x, ((0, 0), (6, (n * bt - t) + 10), (0, 0)), mode="edge")
+    # X[i] = xp[i-1] = x[i-6] (xp = pad5(x)); right pad to (n+1) whole tiles
+    # so every block's halo tile ti+1 exists (covers the last block's 16-
+    # sample halo plus the round-up)
+    xe = jnp.pad(x, ((0, 0), (6, (n + 1) * bt - t - 6), (0, 0)), mode="edge")
     kern = partial(
         _kernel, bt=bt, fe=tuple(np.float32(v) for v in fe),
         fo=tuple(np.float32(v) for v in fo),
@@ -108,14 +115,15 @@ def _pallas_core(x, alpha, beta, logscale, snakebeta, interpret=False):
         kern,
         grid=(bsz, n),
         in_specs=[
-            pl.BlockSpec(xe.shape, lambda bi, ti: (0, 0, 0)),  # whole array
+            pl.BlockSpec((1, bt, c), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, bt, c), lambda bi, ti: (bi, ti + 1, 0)),
             pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
             pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bt, c), lambda bi, ti: (bi, ti, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, n * bt, c), x.dtype),
         interpret=interpret,
-    )(xe, alpha.reshape(1, c), beta.reshape(1, c))
+    )(xe, xe, alpha.reshape(1, c), beta.reshape(1, c))
     return y[:, :t]
 
 
@@ -130,9 +138,11 @@ def _xla_ref(x, alpha, beta, logscale, snakebeta):
     return BG.downsample2(y)
 
 
-def _fused_fwd_impl(x, alpha, beta, logscale, snakebeta, interpret=False):
+def _fused_fwd_impl(x, alpha, beta, logscale, snakebeta, interpret=False,
+                    bt_override=None):
     t = x.shape[1]
-    core = _pallas_core(x, alpha, beta, logscale, snakebeta, interpret)
+    core = _pallas_core(x, alpha, beta, logscale, snakebeta, interpret,
+                        bt_override)
     # exact edge recompute: outputs t<3 / t>=T-3 touch the up-space
     # replicate clamp the kernel skips; they depend only on x within 5
     # samples of the true edge, so a 64-sample crop reproduces them exactly
