@@ -51,10 +51,12 @@ def bench_e2e():
     cfg = MistralConfig()
     shapes = jax.eval_shape(lambda: M.init_params(cfg, jax.random.PRNGKey(0)))
     params = _zeros_like_shapes(jax.eval_shape(quantize_llm_params, shapes))
+    from usdm_tpu.models.quant import quantize_voicebox_params
+
     vb_cfg = VoiceboxConfig()
-    vb = _zeros_like_shapes(
+    vb = quantize_voicebox_params(_zeros_like_shapes(
         jax.eval_shape(lambda: VB.init_params(vb_cfg, jax.random.PRNGKey(1))), jnp.bfloat16
-    )
+    ))
     bv_cfg = BigVGANConfig()
     bv = _zeros_like_shapes(
         jax.eval_shape(lambda: BGV.init_generator(bv_cfg, jax.random.PRNGKey(2))), jnp.bfloat16
@@ -152,8 +154,12 @@ def bench_pipeline():
     xl = _zeros_like_shapes(
         jax.eval_shape(lambda: XL.init_params(xl_cfg, jax.random.PRNGKey(1))), jnp.bfloat16)
     vb_cfg = VoiceboxConfig()
-    vb = _zeros_like_shapes(
-        jax.eval_shape(lambda: VB.init_params(vb_cfg, jax.random.PRNGKey(2))), jnp.bfloat16)
+    # int8 W8A8 estimator: the production decoder config (measured 1.30x on
+    # the 50-step ODE, drift nRMS 1e-4 — scripts/bench_vb_int8.py)
+    from usdm_tpu.models.quant import quantize_voicebox_params
+
+    vb = quantize_voicebox_params(_zeros_like_shapes(
+        jax.eval_shape(lambda: VB.init_params(vb_cfg, jax.random.PRNGKey(2))), jnp.bfloat16))
     bv_cfg = BigVGANConfig()
     bv = _zeros_like_shapes(
         jax.eval_shape(lambda: BGV.init_generator(bv_cfg, jax.random.PRNGKey(3))), jnp.bfloat16)

@@ -68,6 +68,28 @@ def quantize_llm_params(params: Params) -> Params:
     return out
 
 
+_VB_QUANT_KEYS = ("wq", "wk", "wv", "wo", "ffn_w1", "ffn_w2")
+
+
+def quantize_voicebox_params(params: Params) -> Params:
+    """Quantize the Voicebox estimator's stacked per-layer projection/FFN
+    matrices (and the UNet skip combiners) to W8A8 int8.
+
+    The estimator is matmul-bound (~55% MFU bf16, scripts/trace_estimator.py);
+    the MXU runs int8 at 2x bf16 throughput, so these dots — ~97% of the
+    estimator's FLOPs — get the full rate win.  Embedding (a gather),
+    proj_in/proj_out (quality-critical I/O, <1% of FLOPs), conv-pos, biases
+    and norms stay in the float dtype.  Inference-only: the custom backward
+    would see quantized weights."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in _VB_QUANT_KEYS:
+        layers[name] = quantize_weight(layers[name], axis=-2)
+    out["layers"] = layers
+    out["skip_w"] = quantize_weight(params["skip_w"], axis=-2)
+    return out
+
+
 def early_exit_draft(params: Params, n_layers: int):
     """Self-speculation draft: the target's FIRST `n_layers` layers with the
     target's own embed/final-norm/lm_head — a draft model that needs no

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from usdm_tpu.core.config import VoiceboxConfig
+from usdm_tpu.models.quant import qmm
 
 Params = Dict[str, Any]
 
@@ -139,9 +140,9 @@ def _attention(lp, x, bias, n_heads):
     before the dot, additive bias = masked ALiBi + pad penalty."""
     b, t, hdim = x.shape
     d = hdim // n_heads
-    q = (x @ lp["wq"] + lp["bq"]) * (d**-0.5)
-    k = x @ lp["wk"] + lp["bk"]
-    v = x @ lp["wv"] + lp["bv"]
+    q = (qmm(x, lp["wq"]) + lp["bq"]) * (d**-0.5)
+    k = qmm(x, lp["wk"]) + lp["bk"]
+    v = qmm(x, lp["wv"]) + lp["bv"]
     q = q.reshape(b, t, n_heads, d)
     k = k.reshape(b, t, n_heads, d)
     v = v.reshape(b, t, n_heads, d)
@@ -150,7 +151,7 @@ def _attention(lp, x, bias, n_heads):
     scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, precision=_PREC)
-    return out.reshape(b, t, hdim) @ lp["wo"] + lp["bo"]
+    return qmm(out.reshape(b, t, hdim), lp["wo"]) + lp["bo"]
 
 
 def _attention_flash(lp, x, seg, pos, n_heads):
@@ -160,14 +161,14 @@ def _attention_flash(lp, x, seg, pos, n_heads):
 
     b, t, hdim = x.shape
     d = hdim // n_heads
-    q = (x @ lp["wq"] + lp["bq"]).reshape(b, t, n_heads, d)
-    k = (x @ lp["wk"] + lp["bk"]).reshape(b, t, n_heads, d)
-    v = (x @ lp["wv"] + lp["bv"]).reshape(b, t, n_heads, d)
+    q = (qmm(x, lp["wq"]) + lp["bq"]).reshape(b, t, n_heads, d)
+    k = (qmm(x, lp["wk"]) + lp["bk"]).reshape(b, t, n_heads, d)
+    v = (qmm(x, lp["wv"]) + lp["bv"]).reshape(b, t, n_heads, d)
     out = flash_attention(
         q, k, v, seg, seg, pos, pos, causal=False, sliding_window=None,
         scale=d**-0.5, alibi=True,
     )
-    return out.reshape(b, t, hdim) @ lp["wo"] + lp["bo"]
+    return qmm(out.reshape(b, t, hdim), lp["wo"]) + lp["bo"]
 
 
 def _encoder_layer(cfg, lp, x, y_mask, bias, flash_ctx=None, ln_lengths=None):
@@ -190,13 +191,13 @@ def _encoder_layer(cfg, lp, x, y_mask, bias, flash_ctx=None, ln_lengths=None):
         from usdm_tpu.ops.fused_ln import add_mask_ln
 
         h = add_mask_ln(x, attn, ln_lengths, lp["ln1_w"], lp["ln1_b"])
-        ff = _gelu(h @ lp["ffn_w1"] + lp["ffn_b1"]) @ lp["ffn_w2"] + lp["ffn_b2"]
+        ff = qmm(_gelu(qmm(h, lp["ffn_w1"]) + lp["ffn_b1"]), lp["ffn_w2"]) + lp["ffn_b2"]
         return add_mask_ln(h, ff, ln_lengths, lp["ln2_w"], lp["ln2_b"],
                            post_mask=True)
     h = x + attn
     h = h * y_mask
     h = _layer_norm(h, lp["ln1_w"], lp["ln1_b"])
-    ff = _gelu(h @ lp["ffn_w1"] + lp["ffn_b1"]) @ lp["ffn_w2"] + lp["ffn_b2"]
+    ff = qmm(_gelu(qmm(h, lp["ffn_w1"]) + lp["ffn_b1"]), lp["ffn_w2"]) + lp["ffn_b2"]
     h = h + ff
     h = h * y_mask
     h = _layer_norm(h, lp["ln2_w"], lp["ln2_b"])
@@ -332,7 +333,7 @@ def estimator(
 
     def up_step(h, xs):
         lp, sw, sb, skip = xs
-        h = jnp.concatenate([h, skip], axis=-1) @ sw + sb
+        h = qmm(jnp.concatenate([h, skip], axis=-1), sw) + sb
         h = layer_fn(lp, h, y_mask, bias, flash_ctx)
         return h, None
 

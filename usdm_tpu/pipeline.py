@@ -61,11 +61,16 @@ class UsdmPipeline:
         tokenizer_dir: Optional[str] = None,
         lm_dtype: str = "bfloat16",
         lm_int8: bool = False,
+        vb_int8: bool = False,
     ) -> "UsdmPipeline":
         """Assemble the full stack from local checkpoint directories.
 
         `lm_int8=True` quantizes the LLM projections to W8A8 int8, halving
-        decode HBM traffic (~1.7x tokens/s on one chip)."""
+        decode HBM traffic (~1.7x tokens/s on one chip).  `vb_int8=True`
+        quantizes the Voicebox estimator's projection/FFN matmuls to W8A8
+        — the estimator is matmul-bound and the MXU runs int8 at 2x bf16
+        (measured: scripts/bench_vb_int8.py; drift bounds in
+        tests/test_voicebox_quant.py)."""
         lm_params, lm_cfg = ckpt.load_mistral(llm_dir, dtype=lm_dtype)
         if lm_int8:
             from usdm_tpu.models.quant import quantize_llm_params
@@ -73,6 +78,10 @@ class UsdmPipeline:
             lm_params = quantize_llm_params(lm_params)
         xlsr_params, xlsr_cfg = ckpt.load_xlsr(xlsr_dir, kmeans_path)
         vb_params, vb_cfg = ckpt.load_voicebox(voicebox_dir)
+        if vb_int8:
+            from usdm_tpu.models.quant import quantize_voicebox_params
+
+            vb_params = quantize_voicebox_params(vb_params)
         bv_params, bv_cfg = ckpt.load_bigvgan(bigvgan_dir)
         tokenizer = UsdmTokenizer.load(tokenizer_dir or llm_dir)
         decoder = SpeechDecoder(vb_params, vb_cfg, bv_params, bv_cfg)
