@@ -58,10 +58,16 @@ def main():
 
     d = np.abs(wavs[True] - wavs[False])
     denom = np.abs(wavs[False]).mean() + 1e-9
-    print(f"parity: max|d|={d.max():.3e} mean|d|={d.mean():.3e} "
-          f"rel={d.mean() / denom:.3e}")
+    rel = d.mean() / denom
+    print(f"parity: max|d|={d.max():.3e} mean|d|={d.mean():.3e} rel={rel:.3e}")
     print(f"speedup: {results[False] / results[True]:.3f}x "
           f"({results[False]:.4f} -> {results[True]:.4f})")
+    # the gate that keeps fused_act=True as the product default: measured
+    # rel 3e-2 in bf16 (2026-08-19); a halo/tiling regression that only
+    # reproduces under real Mosaic tiling lands here, not in the CPU
+    # interpret-mode goldens
+    assert rel < 6e-2, f"fused/unfused parity broke: rel={rel:.3e}"
+    print("parity gate: OK (rel < 6e-2)")
 
 
 if __name__ == "__main__":

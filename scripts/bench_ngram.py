@@ -31,8 +31,11 @@ rounding, with no speculation machinery involved.  Real checkpoints have peaked 
 units, not tenths), so flips are far rarer there; CPU tests pin exact
 equality under matched kernels/precision (tests/test_paged.py
 test_ngram_output_equals_greedy).  vLLM's greedy spec decode carries the
-same matched-kernel caveat.  The random regime therefore reports the
-first-divergence index instead of asserting.
+same matched-kernel caveat.  The random regime therefore VERIFIES any
+divergence is a tie-flip (under an independent dense forward, both tokens
+must sit within 0.5 logit-std of the argmax — inside the measured
+cross-kernel noise band) instead of asserting bit-equality — a real
+acceptance bug emits a token far below the top and fails that check.
 
 Run: python scripts/bench_ngram.py            (on the real chip)
 """
@@ -99,8 +102,38 @@ def main():
         else:
             div = next((i for i, (a, b) in enumerate(zip(out_plain, out_ng))
                         if a != b), None)
-            match = ("exact" if div is None else
-                     f"tie-flip@{div} (see module docstring)")
+            if div is None:
+                match = "exact"
+            else:
+                # a divergence is only acceptable if it IS a cross-kernel
+                # tie-flip: under an independent DENSE forward at the
+                # divergent position, BOTH tokens must sit within the
+                # cross-kernel noise band of the argmax (noise RMS measures
+                # ~0.29 of the logit std here, so near-max ranks are
+                # meaningless — gap-from-top is the discriminating
+                # statistic).  A real acceptance bug (e.g. emitting the
+                # draft token instead of the target argmax at a rejected
+                # position) emits an arbitrary token, which over a 10k
+                # vocab sits ~3+ std below the top — far outside the band.
+                ids = jnp.asarray([prompt + out_plain[:div]], jnp.int32)
+                logits = np.asarray(
+                    M.forward(params, cfg, ids)[0, -1], np.float64)
+                logits[~allow] = -np.inf
+                a, b = out_plain[div], out_ng[div]
+                std = float(np.std(logits[allow]))
+                top = float(logits.max())
+                gaps = {t: top - float(logits[t]) for t in (a, b)}
+                order = np.argsort(logits)[::-1]
+                ra, rb = (int(np.where(order == t)[0][0]) for t in (a, b))
+                worst = max(gaps.values())
+                assert worst < 0.5 * std, (
+                    f"divergence@{div} is NOT a tie-flip: plain tok {a} "
+                    f"(rank {ra}, {gaps[a]:.3f} below top), ngram tok {b} "
+                    f"(rank {rb}, {gaps[b]:.3f} below top), logit std "
+                    f"{std:.3f} — a token {worst / std:.2f} std off the "
+                    f"argmax suggests a real speculation acceptance bug")
+                match = (f"tie-flip@{div} verified (ranks {{{ra},{rb}}}, "
+                         f"both within {worst / std:.2f} std of argmax)")
         # repetition diagnostic: longest tail period of the decoded stream
         tail = out_plain[-128:]
         period = next((p for p in range(1, 65)

@@ -66,6 +66,11 @@ def main():
     print(f"drift: normalized RMS {nrms:.4f}")
     print(f"speedup: {results['bf16'] / results['int8']:.3f}x "
           f"({results['bf16']:.4f}s -> {results['int8']:.4f}s)")
+    # the gate that justifies vb_int8 on the product path: measured nRMS
+    # 1e-4 (2026-08-19); a wrong quantization axis or qmm regression lands
+    # here as drift orders of magnitude above that
+    assert nrms < 1e-2, f"int8 estimator drift broke: nRMS={nrms:.4f}"
+    print("drift gate: OK (nRMS < 1e-2)")
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ import json
 import sys
 from contextlib import redirect_stdout
 
+import numpy as np
 import pytest
 
 import bench
@@ -94,3 +95,24 @@ def test_serving_failure_does_not_kill_primary(monkeypatch):
     assert out["value"] == 0.9
     assert "tier exploded" in out["serving_error"]
     assert "tier exploded" in out["serving_16_error"]
+
+
+def test_free_device_memory_releases_live_arrays():
+    """The real _free_device_memory (NOT the no-op patch the tier tests use)
+    must delete every live device array and never raise — it is the function
+    that keeps a failed tier's pinned HBM from starving the next one, and a
+    regression in it (e.g. a jax API rename) must fail in CI, not first
+    on-chip inside bench.main's failure path."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.arange(1024.0)
+    b = jnp.ones((64, 64))
+    (a[:64] + b[0]).block_until_ready()
+    assert len(jax.live_arrays()) >= 2
+    bench._free_device_memory()
+    assert len(jax.live_arrays()) == 0
+    with pytest.raises(RuntimeError):
+        _ = np.asarray(a)  # deleted buffer
+    del b
+    bench._free_device_memory()  # idempotent on an empty set

@@ -91,7 +91,8 @@ def test_vmem_tile_cap_at_real_widths():
     """At BigVGAN's widest activation1d stage (C=768) the auto tile shrinks
     so ~6 f32 working buffers stay under VMEM; numerics unchanged."""
     c = 768
-    bt = max(16, min(fused_act._BT, 10_000, (1 << 17) // c) // 8 * 8)
+    bt = fused_act._tile_bt(10_000, c)  # the kernel's own formula
+    assert bt % 16 == 0  # halo block alignment
     assert bt * c * 4 * 6 < 16 * 2**20  # 6 bt*c f32 buffers < 16 MB VMEM
     x, alpha, beta = _inputs(1, 2 * bt + 37, c, seed=5)
     got = fused_act._fused_fwd_impl(x, alpha, beta, True, True,

@@ -37,9 +37,10 @@ def main(argv=None) -> int:
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--int8", action="store_true",
                    help="quantize the LLM to W8A8 int8 (faster decode)")
-    p.add_argument("--vb_int8", action="store_true",
-                   help="quantize the Voicebox estimator matmuls to W8A8 "
-                        "int8 (1.30x ODE, drift nRMS ~1e-4)")
+    p.add_argument("--no_vb_int8", action="store_true",
+                   help="keep the Voicebox estimator matmuls in float "
+                        "(default quantizes them to W8A8 int8: 1.30x ODE, "
+                        "drift nRMS ~1e-4)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree: shard the LM over the first "
                         "N devices and decode through the paged engine")
@@ -63,7 +64,7 @@ def main(argv=None) -> int:
         pipe = UsdmPipeline.from_pretrained(
             args.model_dir, args.xlsr_dir, args.kmeans,
             args.voicebox_dir, args.bigvgan_dir, args.tokenizer_dir,
-            lm_int8=args.int8, vb_int8=args.vb_int8,
+            lm_int8=args.int8, vb_int8=not args.no_vb_int8,
         )
 
     if args.draft_dir:

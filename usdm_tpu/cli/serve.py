@@ -393,9 +393,10 @@ def main(argv=None) -> int:
                         "lever; vLLM fp8-KV analog)")
     p.add_argument("--int8", action="store_true",
                    help="quantize the LLM to W8A8 int8 (faster decode)")
-    p.add_argument("--vb_int8", action="store_true",
-                   help="quantize the Voicebox estimator matmuls to W8A8 "
-                        "int8 (1.30x ODE, drift nRMS ~1e-4)")
+    p.add_argument("--no_vb_int8", action="store_true",
+                   help="keep the Voicebox estimator matmuls in float "
+                        "(default quantizes them to W8A8 int8: 1.30x ODE, "
+                        "drift nRMS ~1e-4)")
     p.add_argument("--no_runahead", action="store_true",
                    help="disable depth-1 chain run-ahead (debug: serializes "
                         "each decode chain's host sync)")
@@ -410,7 +411,7 @@ def main(argv=None) -> int:
         pipe = UsdmPipeline.from_pretrained(
             args.model_dir, args.xlsr_dir, args.kmeans,
             args.voicebox_dir, args.bigvgan_dir, args.tokenizer_dir,
-            lm_int8=args.int8, vb_int8=args.vb_int8,
+            lm_int8=args.int8, vb_int8=not args.no_vb_int8,
         )
 
     draft = None

@@ -67,10 +67,11 @@ def _snake_f32(x, a_ref, b_ref, logscale, snakebeta):
 
 def _kernel(x0_ref, x1_ref, a_ref, b_ref, o_ref, *, bt, fe, fo, ge, go,
             logscale, snakebeta):
-    # block ti's window is its own bt-tile plus a 16-sample halo taken from
-    # the head of tile ti+1 (two block-aligned views of the same padded
-    # input — VMEM holds 2 tiles, never the whole array)
-    w = jnp.concatenate([x0_ref[0], x1_ref[0, :16]], axis=0).astype(jnp.float32)
+    # block ti's window is its own bt-tile plus a 16-sample halo block taken
+    # from the head of tile ti+1 (two block-aligned views of the same padded
+    # input; the halo view's block is only 16 samples, so each input sample
+    # streams from HBM ~once, not twice)
+    w = jnp.concatenate([x0_ref[0], x1_ref[0]], axis=0).astype(jnp.float32)
     n = bt + 6
     e = fe[0] * w[0:n]
     o = fo[0] * w[1 : 1 + n]
@@ -85,17 +86,23 @@ def _kernel(x0_ref, x1_ref, a_ref, b_ref, o_ref, *, bt, fe, fo, ge, go,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _tile_bt(t: int, c: int) -> int:
+    """Output samples per block: capped so the f32 working set (window + 4
+    snake phases + output, ~6 bt*c-sized f32 buffers) stays well under the
+    ~16 MB VMEM even at BigVGAN's widest activation1d stage (C=768); a
+    multiple of 16 (>= 16) so the 16-sample halo is exactly one (1, 16, c)
+    block of the neighbor tile."""
+    return max(16, min(_BT, t, (1 << 17) // c) // 16 * 16)
+
+
 def _pallas_core(x, alpha, beta, logscale, snakebeta, interpret=False,
                  bt_override=None):
     """Fused sandwich over [B, T, C]; outputs t in [3, T-4] are exact,
     the 3 samples at each end are computed under interior (no up-space
     clamp) assumptions and must be patched by the caller."""
     bsz, t, c = x.shape
-    # cap the tile so the f32 working set (window + 4 snake phases + output,
-    # ~6 bt*c-sized f32 buffers) stays well under the ~16 MB VMEM even at
-    # BigVGAN's widest activation1d stage (C=768); >=16 so the halo fits in
-    # one neighbor tile
-    bt = bt_override or max(16, min(_BT, t, (1 << 17) // c) // 8 * 8)
+    bt = bt_override or _tile_bt(t, c)
+    assert bt % 16 == 0, bt  # halo block alignment (see _tile_bt)
     n = pl.cdiv(t, bt)
     fe, fo, ge, go = _filters()
     # X[i] = xp[i-1] = x[i-6] (xp = pad5(x)); right pad to (n+1) whole tiles
@@ -116,7 +123,10 @@ def _pallas_core(x, alpha, beta, logscale, snakebeta, interpret=False,
         grid=(bsz, n),
         in_specs=[
             pl.BlockSpec((1, bt, c), lambda bi, ti: (bi, ti, 0)),
-            pl.BlockSpec((1, bt, c), lambda bi, ti: (bi, ti + 1, 0)),
+            # 16-sample halo: the head of tile ti+1, addressed in 16-row
+            # block units (bt % 16 == 0 makes the offset block-aligned)
+            pl.BlockSpec((1, 16, c),
+                         lambda bi, ti, r=bt // 16: (bi, (ti + 1) * r, 0)),
             pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
             pl.BlockSpec((1, c), lambda bi, ti: (0, 0)),
         ],
